@@ -1,0 +1,133 @@
+"""The MVLPT model forward: frozen CLIP + prompt params -> logits.
+
+Functional equivalent of CustomCLIP (mvlpt.py:517-583). One pure
+function computes: UPT coupling -> image tower with VPT injection ->
+CoOp prompt assembly -> text tower -> normalized cosine logits ->
+optional per-task logit masking.
+
+Everything is a jittable function of
+(backbone_params, prompt_params, consts, batch); gradients are taken
+w.r.t. ``prompt_params`` only, which replaces the reference's
+requires_grad freezing (mvlpt.py:855-860).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from mvlpt_tpu.core import clip as clip_core
+from mvlpt_tpu.core import text as text_mod
+from mvlpt_tpu.core import vit as vit_mod
+from mvlpt_tpu.core.clip import CLIPConfig
+from mvlpt_tpu.prompts import (
+    PromptConsts,
+    PromptSpec,
+    cocoop_condition,
+    coop_assemble,
+    upt_couple,
+    vpt_prepare,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskClassRanges:
+    """Per-task class index ranges for multitask logit masking
+    (mvlpt.py:527-538). Arrays indexed by task id."""
+
+    start: jax.Array  # (n_tasks,)
+    end: jax.Array    # (n_tasks,)
+
+
+@dataclasses.dataclass(frozen=True)
+class MVLPTModel:
+    """Static bundle: architecture + prompt spec + frozen options."""
+
+    clip_cfg: CLIPConfig
+    spec: PromptSpec
+    remat: bool = False
+    attn_fn: Callable | None = None
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def encode_image(self, backbone, prompt_params, images, rng=None,
+                     vpt_shallow=None, vpt_deep=None):
+        vpt_shallow, vpt_deep = vpt_prepare(
+            prompt_params, self.spec, vpt_shallow, vpt_deep, rng)
+        if vpt_shallow is not None:
+            vpt_shallow = vpt_shallow.astype(self.compute_dtype)
+        if vpt_deep is not None:
+            vpt_deep = vpt_deep.astype(self.compute_dtype)
+        return vit_mod.encode_image(
+            backbone["visual"],
+            images,
+            patch_size=self.clip_cfg.vision_patch_size,
+            n_heads=self.clip_cfg.vision_heads,
+            vpt_shallow=vpt_shallow,
+            vpt_deep=vpt_deep,
+            remat=self.remat,
+            attn_fn=self.attn_fn,
+        )
+
+    def encode_text_prompts(self, backbone, prompts, eot_idx):
+        return text_mod.encode_text_embeds(
+            backbone["text"],
+            prompts.astype(self.compute_dtype),
+            eot_idx,
+            n_heads=self.clip_cfg.transformer_heads,
+            remat=self.remat,
+            attn_fn=self.attn_fn,
+        )
+
+    def __call__(
+        self,
+        backbone: dict,
+        prompt_params: dict,
+        consts: PromptConsts,
+        images: jax.Array,
+        tasks: jax.Array | None = None,
+        task_ranges: TaskClassRanges | None = None,
+        rng: jax.Array | None = None,
+    ) -> jax.Array:
+        """Full forward -> (B, n_cls) fp32 logits (mvlpt.py:540-582)."""
+        spec = self.spec
+        coop_ctx, vpt_sh, vpt_dp = upt_couple(prompt_params, spec)
+
+        image_features = self.encode_image(
+            backbone, prompt_params, images, rng, vpt_sh, vpt_dp)
+
+        if not spec.has_cocoop:
+            prompts = coop_assemble(coop_ctx, consts, spec)
+            text_features = self.encode_text_prompts(
+                backbone, prompts, consts.eot_idx)
+            logits = clip_core.clip_logits(
+                image_features, text_features, backbone["logit_scale"])
+        else:
+            # CoCoOp: instance-conditioned prompts. The reference loops
+            # over the batch (mvlpt.py:563-570); here the (B, n_cls)
+            # prompt grid is flattened through one text-tower call.
+            img32 = image_features.astype(jnp.float32)
+            img_n = img32 / jnp.linalg.norm(img32, axis=-1, keepdims=True)
+            ctx_shifted = cocoop_condition(prompt_params, spec, img_n)  # (B,n,Wt)
+            b = ctx_shifted.shape[0]
+
+            def per_instance(ctx_i):
+                prompts = coop_assemble(ctx_i, consts, spec)  # (n_cls,S,Wt)
+                tf = self.encode_text_prompts(backbone, prompts, consts.eot_idx)
+                tf = tf.astype(jnp.float32)
+                return tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+
+            text_features = jax.lax.map(per_instance, ctx_shifted)  # (B,n_cls,E)
+            scale = jnp.exp(backbone["logit_scale"].astype(jnp.float32))
+            logits = scale * jnp.einsum("be,bce->bc", img_n, text_features)
+
+        if tasks is not None and task_ranges is not None:
+            cls_idx = jnp.arange(logits.shape[-1])[None, :]
+            lo = task_ranges.start[tasks][:, None]
+            hi = task_ranges.end[tasks][:, None]
+            select = ((cls_idx >= lo) & (cls_idx < hi)).astype(logits.dtype)
+            logits = logits * select  # multiply, as mvlpt.py:579-581
+
+        return logits
