@@ -1,0 +1,36 @@
+"""Average prompt checkpoints across seeds (scripts/avg_ckpt.py:21-66):
+tensor-wise mean of the seed-1/2/3 best checkpoints into one
+model-best.pth.tar — produces the multitask init used for transfer."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+from mvlpt_tpu.checkpoint.prompt_io import average_checkpoints, checkpoint_path
+
+
+def cli():
+    p = argparse.ArgumentParser(description="average prompt checkpoints")
+    p.add_argument("--dirs", nargs="+", required=True,
+                   help="run output dirs (one per seed)")
+    p.add_argument("--epoch", type=int, default=None,
+                   help="load model.pth.tar-<epoch> instead of model-best")
+    p.add_argument("--output-dir", required=True)
+    args = p.parse_args()
+
+    paths = [checkpoint_path(d, args.epoch) for d in args.dirs]
+    for path in paths:
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+    avg = average_checkpoints(paths)
+    out = checkpoint_path(args.output_dir)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "wb") as f:
+        pickle.dump(avg, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print(f"averaged {len(paths)} checkpoints -> {out}")
+
+
+if __name__ == "__main__":
+    cli()

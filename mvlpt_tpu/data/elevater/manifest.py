@@ -1,0 +1,229 @@
+"""ELEVATER (ICinW) dataset pipeline, offline-capable.
+
+The reference drives ELEVATER through the Azure-hosted
+``vision_datasets`` hub (feature.py:538-619): resolve a manifest,
+adapt labels (multiclass -> int, multilabel -> k-hot), few-shot
+subsample with ``sample_few_shot_subset(shots, random_seed)``,
+class-balanced 20% val split, and — for multitask — merge per-task
+manifests into one global class space (feature.py:758-862).
+
+This module re-implements that behavior over a LOCAL manifest format
+(no Azure dependency):
+
+  <root>/<task>/manifest.json
+      {"type": "classification_multiclass" | "classification_multilabel",
+       "splits": {"train": [["rel/path.jpg", [label, ...]], ...],
+                   "test": [...]}}
+
+with an ImageFolder fallback (<root>/<task>/{train,test}/<class>/*.jpg),
+mirroring the reference's torchvision.ImageFolder fallback
+(feature.py:609-617). Task metadata (classnames, templates, metric)
+comes from metadata.json (extracted pure data; see its _provenance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import random
+from collections import Counter, defaultdict
+from functools import lru_cache
+
+import numpy as np
+
+MULTICLASS = "classification_multiclass"
+MULTILABEL = "classification_multilabel"
+
+_META_PATH = os.path.join(os.path.dirname(__file__), "metadata.json")
+
+# The 20-task ELEVATER benchmark list
+# (scripts/mvlpt/main_mt_elevater_cut.sh:24).
+ELEVATER_20_TASKS = [
+    "hateful-memes", "cifar-10", "mnist", "oxford-flower-102",
+    "oxford-iiit-pets", "resisc45_clip", "country211", "food-101",
+    "stanford-cars", "caltech-101", "dtd", "voc-2007-classification",
+    "cifar-100", "fgvc-aircraft-2013b-variants102", "patch-camelyon",
+    "rendered-sst2", "gtsrb", "eurosat_clip", "fer-2013", "kitti-distance",
+]
+
+
+@lru_cache()
+def load_metadata() -> dict:
+    with open(_META_PATH) as f:
+        return json.load(f)["tasks"]
+
+
+def class_map(task: str) -> list:
+    return load_metadata()[task]["classes"]
+
+
+def class_map_metric(task: str) -> str:
+    return load_metadata()[task]["metric"]
+
+
+def template_map(task: str) -> list[str]:
+    return load_metadata()[task]["templates"]
+
+
+def first_classname(entry) -> str:
+    """class_map values may be synonym lists; take the first
+    (mvlpt.py:754-758)."""
+    return entry[0] if isinstance(entry, list) else entry
+
+
+@dataclasses.dataclass
+class ElevaterItem:
+    impath: str
+    labels: tuple[int, ...]   # one id for multiclass, many for multilabel
+    task_id: int = 0
+
+
+@dataclasses.dataclass
+class TaskManifest:
+    task: str
+    dataset_type: str                    # MULTICLASS / MULTILABEL
+    num_classes: int
+    train: list[ElevaterItem]
+    test: list[ElevaterItem]
+
+    @property
+    def is_multilabel(self) -> bool:
+        return self.dataset_type == MULTILABEL
+
+
+def _load_image_folder_split(split_dir: str, classnames) -> list[ElevaterItem]:
+    items = []
+    folders = sorted(f.name for f in os.scandir(split_dir) if f.is_dir())
+    for label, folder in enumerate(folders):
+        fdir = os.path.join(split_dir, folder)
+        for name in sorted(os.listdir(fdir)):
+            if name.startswith("."):
+                continue
+            items.append(ElevaterItem(os.path.join(fdir, name), (label,)))
+    return items
+
+
+def load_task_manifest(root: str, task: str) -> TaskManifest:
+    task_dir = os.path.join(root, task)
+    manifest_path = os.path.join(task_dir, "manifest.json")
+    n_classes = len(class_map(task))
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            m = json.load(f)
+        splits = {}
+        for split, rows in m["splits"].items():
+            splits[split] = [
+                ElevaterItem(os.path.join(task_dir, rel), tuple(int(l) for l in labels))
+                for rel, labels in rows
+            ]
+        return TaskManifest(
+            task=task,
+            dataset_type=m.get("type", MULTICLASS),
+            num_classes=m.get("num_classes", n_classes),
+            train=splits.get("train", []),
+            test=splits.get("test", splits.get("val", [])),
+        )
+    # ImageFolder fallback
+    train_dir, test_dir = os.path.join(task_dir, "train"), os.path.join(task_dir, "test")
+    if os.path.isdir(train_dir):
+        return TaskManifest(
+            task=task, dataset_type=MULTICLASS, num_classes=n_classes,
+            train=_load_image_folder_split(train_dir, None),
+            test=_load_image_folder_split(test_dir, None) if os.path.isdir(test_dir) else [],
+        )
+    raise FileNotFoundError(
+        f"No manifest.json or train/ ImageFolder for ELEVATER task {task!r} "
+        f"under {task_dir}")
+
+
+def sample_few_shot_subset(items: list[ElevaterItem], shots: int, seed: int,
+                           num_classes: int) -> list[ElevaterItem]:
+    """Per-class few-shot sampling; multilabel items count toward every
+    class they carry (vision_datasets' greedy semantics)."""
+    if shots is None or shots <= 0:
+        return list(items)
+    rng = random.Random(seed)
+    order = list(range(len(items)))
+    rng.shuffle(order)
+    counts = Counter()
+    picked = []
+    for idx in order:
+        item = items[idx]
+        if any(counts[l] < shots for l in item.labels):
+            picked.append(item)
+            counts.update(item.labels)
+    picked.sort(key=lambda it: it.impath)
+    return picked
+
+
+def train_val_split(items: list[ElevaterItem], val_frac: float, seed: int,
+                    num_classes: int, multilabel: bool):
+    """Class-balanced val split (feature.py:109-176: per-class ceil count
+    for single-label; greedy cover for multilabel)."""
+    if not items:
+        return [], []
+    if not multilabel:
+        by_class = defaultdict(list)
+        for i, it in enumerate(items):
+            by_class[it.labels[0]].append(i)
+        val_idx = set()
+        for label, idxs in by_class.items():
+            n = math.ceil(len(idxs) * val_frac)
+            val_idx.update(idxs[:n])
+    else:
+        labels = np.zeros((len(items), num_classes), np.int64)
+        for i, it in enumerate(items):
+            labels[i, list(it.labels)] = 1
+        target = np.ceil(labels.sum(0) * val_frac)
+        val_idx = set()
+        remaining = labels.copy()
+        next_targets = np.where(target > 0)[0]
+        while next_targets.size > 0:
+            cls = next_targets[0]
+            cand = np.where(remaining[:, cls] > 0)[0]
+            if cand.size == 0:
+                target[cls] = 0
+            else:
+                i = int(cand[0])
+                val_idx.add(i)
+                target -= remaining[i]
+                remaining[i] = 0
+            next_targets = np.where(target > 0)[0]
+    train = [it for i, it in enumerate(items) if i not in val_idx]
+    val = [items[i] for i in sorted(val_idx)]
+    return train, val
+
+
+@dataclasses.dataclass
+class MultitaskManifest:
+    """Merged ELEVATER tasks with a global contiguous class space
+    (create_multitask_manifest, feature.py:758-780)."""
+
+    task_names: list[str]
+    manifests: dict[str, TaskManifest]
+    class_offset: dict[str, int]
+    num_classes: int
+
+    def get_cid(self, label_idx: int, task: str) -> int:
+        return self.class_offset[task] + label_idx
+
+    def task_class_idx(self) -> dict[str, tuple[int, int]]:
+        out = {}
+        for t in self.task_names:
+            lo = self.class_offset[t]
+            out[t] = (lo, lo + self.manifests[t].num_classes)
+        return out
+
+
+def load_multitask_manifest(root: str, tasks: list[str]) -> MultitaskManifest:
+    manifests, offsets, off = {}, {}, 0
+    for t in tasks:
+        m = load_task_manifest(root, t)
+        manifests[t] = m
+        offsets[t] = off
+        off += m.num_classes
+    return MultitaskManifest(
+        task_names=list(tasks), manifests=manifests,
+        class_offset=offsets, num_classes=off)

@@ -1,0 +1,154 @@
+"""Host input pipeline: threaded decode/transform workers feeding
+fixed-shape numpy batches, with device prefetch.
+
+TPU-native replacement for torch DataLoader + Dassl DatasetWrapper
+(used at mvlpt.py:661-720): deterministic seeded shuffling, worker
+parallelism for JPEG decode + PIL transforms (PIL releases the GIL for
+the heavy ops), static batch shapes (train loaders drop/pad nothing —
+they wrap around; eval loaders pad the tail batch and report the pad so
+metrics can mask it).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import random
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+from PIL import Image
+
+from mvlpt_tpu.data.datum import Datum
+
+
+def _load_image(impath: str) -> Image.Image:
+    img = Image.open(impath)
+    img.load()
+    return img
+
+
+class _TransformedDataset:
+    """items + transform -> (image HWC f32, label, domain)."""
+
+    def __init__(self, items: Sequence[Datum], transform: Callable,
+                 label_transform: Callable | None = None):
+        self.items = items
+        self.transform = transform
+        self.label_transform = label_transform
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx: int):
+        d = self.items[idx]
+        img = self.transform(_load_image(d.impath))
+        label = d.label if self.label_transform is None else self.label_transform(d.label)
+        return img, label, d.domain
+
+
+class DataLoader:
+    """Deterministic batched iterator with a thread pool.
+
+    Train mode: infinite-epoch semantics are left to the caller; each
+    ``__iter__`` yields one epoch of full batches (tail dropped when
+    ``drop_last``, matching torch's default for Dassl train loaders).
+    Eval mode: tail batch is padded to the static batch size and
+    ``n_valid`` marks real rows.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 num_workers: int = 4, seed: int = 0, drop_last: bool = False,
+                 multitask: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.multitask = multitask
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> list[int]:
+        idxs = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(idxs)
+        return idxs
+
+    def __iter__(self) -> Iterator[dict]:
+        idxs = self._order()
+        self.epoch += 1
+        bs = self.batch_size
+
+        def fetch(i):
+            return self.dataset[i]
+
+        pool = cf.ThreadPoolExecutor(self.num_workers) if self.num_workers else None
+        try:
+            for start in range(0, len(idxs), bs):
+                chunk = idxs[start : start + bs]
+                if len(chunk) < bs and self.drop_last:
+                    break
+                if pool is not None:
+                    rows = list(pool.map(fetch, chunk))
+                else:
+                    rows = [fetch(i) for i in chunk]
+                n_valid = len(rows)
+                while len(rows) < bs:  # pad eval tail to static shape
+                    rows.append(rows[-1])
+                imgs = np.stack([r[0] for r in rows]).astype(np.float32)
+                labels = np.asarray([r[1] for r in rows])
+                batch = {"image": imgs, "label": labels, "n_valid": n_valid}
+                if self.multitask:
+                    batch["task"] = np.asarray([r[2] for r in rows], np.int32)
+                yield batch
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+
+def build_data_loader(cfg, data_source, batch_size, tfm, is_train: bool,
+                      multitask: bool = False, label_transform=None):
+    """Dassl build_data_loader equivalent (mvlpt.py:661-720)."""
+    ds = _TransformedDataset(data_source, tfm, label_transform)
+    return DataLoader(
+        ds, batch_size=batch_size, shuffle=is_train,
+        num_workers=cfg.DATALOADER.NUM_WORKERS, seed=max(cfg.SEED, 0),
+        drop_last=is_train, multitask=multitask,
+    )
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Async host->device pipeline (replaces pinned-memory workers)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        n_valid = batch.pop("n_valid", None)
+        arrays = {k: jax.device_put(v, sharding) if sharding is not None
+                  else jax.device_put(v) for k, v in batch.items()}
+        if n_valid is not None:
+            arrays["n_valid"] = n_valid
+        queue.append(arrays)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out

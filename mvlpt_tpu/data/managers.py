@@ -1,0 +1,267 @@
+"""Data managers: the multitask machinery (SURVEY.md §2.4, the MVLPT
+core contribution).
+
+  * CoopMultitaskDataManager — rebuild of MVLPTCOOPDataManager
+    (mvlpt.py:585-735): per-task CoOp dataset build, label offsetting by
+    running class count, task-id stamping, split concatenation, and
+    ``task_class_idx`` ranges.
+  * ElevaterDataManager — rebuild of MVLPTDataManager (mvlpt.py:740-770)
+    over the local manifest pipeline (construct_dataloader,
+    feature.py:538-619).
+  * ElevaterMultitaskDataManager — rebuild of MVLPTMTDataManager
+    (mvlpt.py:772-825) + construct_multitask_dataset
+    (feature.py:782-862): merged manifests, global contiguous class ids,
+    k-hot targets over the global class space, per-item task ids.
+
+The same managers serve the CoOp/CoCoOp trainers (the reference
+duplicates them per trainer, coop.py:264-501 — here they are shared).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mvlpt_tpu.data import transforms as T
+from mvlpt_tpu.data.coop import datasets as coop_datasets  # registers loaders
+from mvlpt_tpu.data.datum import DatasetBase
+from mvlpt_tpu.data.elevater import manifest as ev
+from mvlpt_tpu.data.loader import DataLoader, _TransformedDataset, build_data_loader
+from mvlpt_tpu.evaluation.metrics import get_metric
+from mvlpt_tpu.utils.registry import DATASET_REGISTRY
+
+
+class CoopMultitaskDataManager:
+    """Concatenate CoOp datasets with offset labels and task domains."""
+
+    def __init__(self, cfg):
+        self._task_names = cfg.DATASET.DATASET.split(",")
+        self._id2task = dict(enumerate(self._task_names))
+        self._task_class_idx: dict[str, tuple[int, int]] = {}
+
+        label_offset = 0
+        train_x, val, test = [], [], []
+        classnames: list[str] = []
+        lab2cname: dict[int, str] = {}
+        for domain, name in enumerate(self._task_names):
+            sub = cfg.clone()
+            sub.defrost()
+            sub.DATASET.NAME = name
+            dataset = DATASET_REGISTRY.get(name)(sub)
+            for group, acc in ((dataset.train_x, train_x), (dataset.val, val),
+                               (dataset.test, test)):
+                for d in group:
+                    d.label += label_offset
+                    d.domain = domain
+                acc.extend(group)
+            classnames.extend(dataset.classnames)
+            lab2cname.update(
+                {k + label_offset: v for k, v in dataset.lab2cname.items()})
+            self._task_class_idx[name] = (
+                label_offset, label_offset + dataset.num_classes)
+            label_offset += dataset.num_classes
+
+        self._num_classes = label_offset
+        self._classnames = classnames
+        self._lab2cname = lab2cname
+
+        tfm_train = T.build_transform(cfg, is_train=True)
+        tfm_test = T.build_transform(cfg, is_train=False)
+        multitask = cfg.DATASET.MULTITASK
+        self.train_loader_x = build_data_loader(
+            cfg, train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE, tfm_train,
+            is_train=True, multitask=multitask)
+        self.val_loader = build_data_loader(
+            cfg, val, cfg.DATALOADER.TEST.BATCH_SIZE, tfm_test,
+            is_train=False, multitask=multitask) if val else None
+        self.test_loader = build_data_loader(
+            cfg, test, cfg.DATALOADER.TEST.BATCH_SIZE, tfm_test,
+            is_train=False, multitask=multitask)
+        self.train_loader_u = None
+
+    # Dassl-compatible property surface (mvlpt.py:722-735)
+    @property
+    def num_classes(self):
+        return self._num_classes
+
+    @property
+    def lab2cname(self):
+        return self._lab2cname
+
+    @property
+    def classnames(self):
+        return self._classnames
+
+
+class _ElevaterDataset:
+    """items -> (image, target, task_id) rows for DataLoader."""
+
+    def __init__(self, items, transform, target_fn):
+        self.items = items
+        self.transform = transform
+        self.target_fn = target_fn
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        from mvlpt_tpu.data.loader import _load_image
+
+        it = self.items[idx]
+        img = self.transform(_load_image(it.impath))
+        return img, self.target_fn(it), it.task_id
+
+
+def _elevater_transform(cfg):
+    """ELEVATER preprocessing: Resize+CenterCrop when DATASET.CENTER_CROP
+    else a plain warp; no train-time augmentation (feature.py:539-553)."""
+    size = cfg.INPUT.SIZE if not isinstance(cfg.INPUT.SIZE, int) else (
+        cfg.INPUT.SIZE, cfg.INPUT.SIZE)
+    return T.EvalTransform(
+        size=tuple(size), interpolation="bicubic",
+        mean=tuple(cfg.INPUT.PIXEL_MEAN), std=tuple(cfg.INPUT.PIXEL_STD),
+        center_crop_mode=bool(cfg.DATASET.CENTER_CROP))
+
+
+def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,
+                 multitask):
+    ds = _ElevaterDataset(items, transform, target_fn)
+    return DataLoader(
+        ds, batch_size=batch_size, shuffle=shuffle,
+        num_workers=cfg.DATALOADER.NUM_WORKERS,
+        seed=max(cfg.SEED, 0), drop_last=shuffle, multitask=multitask)
+
+
+class ElevaterDataManager:
+    """Single ELEVATER task (mvlpt.py:740-770 + feature.py:538-619)."""
+
+    def __init__(self, cfg):
+        task = cfg.DATASET.DATASET
+        root = cfg.DATASET.ROOT
+        man = ev.load_task_manifest(root, task)
+        self._metric = get_metric(ev.class_map_metric(task))
+        self._metric_name = ev.class_map_metric(task)
+        names = ev.class_map(task)
+        self._num_classes = len(names)
+        self._lab2cname = {i: ev.first_classname(c) for i, c in enumerate(names)}
+
+        shots = cfg.DATASET.NUM_SAMPLES_PER_CLASS
+        seed = cfg.DATASET.RANDOM_SEED_SAMPLING
+        train_items = ev.sample_few_shot_subset(
+            man.train, shots, seed, man.num_classes)
+        train_items, val_items = ev.train_val_split(
+            train_items, 0.2, seed, man.num_classes, man.is_multilabel)
+
+        if man.is_multilabel:
+            def target_fn(it, n=man.num_classes):
+                vec = np.zeros(n, np.float32)
+                vec[list(it.labels)] = 1.0
+                return vec
+        else:
+            def target_fn(it):
+                return it.labels[0]
+
+        tfm = _elevater_transform(cfg)
+        bs_train = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
+        bs_test = cfg.DATALOADER.TEST.BATCH_SIZE
+        self.train_loader_x = _make_loader(
+            cfg, train_items, tfm, target_fn, bs_train, True, False)
+        self.val_loader = _make_loader(
+            cfg, val_items, tfm, target_fn, bs_test, False, False) if val_items else None
+        self.test_loader = _make_loader(
+            cfg, man.test, tfm, target_fn, bs_test, False, False)
+        self.train_loader_u = None
+
+    @property
+    def num_classes(self):
+        return self._num_classes
+
+    @property
+    def lab2cname(self):
+        return self._lab2cname
+
+    @property
+    def classnames(self):
+        return [self._lab2cname[i] for i in range(self._num_classes)]
+
+
+class ElevaterMultitaskDataManager:
+    """Merged ELEVATER tasks (mvlpt.py:772-825 + feature.py:782-862):
+    targets are k-hot over the GLOBAL class space, every item carries its
+    task id (MultiTaskTorchDataset semantics, feature.py:709-756)."""
+
+    def __init__(self, cfg):
+        tasks = cfg.DATASET.DATASET.split(",")
+        root = cfg.DATASET.ROOT
+        mt = ev.load_multitask_manifest(root, tasks)
+        self._task_names = mt.task_names
+        self._task2id = {t: i for i, t in enumerate(tasks)}
+        self._id2task = dict(enumerate(tasks))
+        self._metric = {t: get_metric(ev.class_map_metric(t)) for t in tasks}
+        self._metric_name = {t: ev.class_map_metric(t) for t in tasks}
+        self._labelmap = {t: ev.class_map(t) for t in tasks}
+        self._task_class_idx = mt.task_class_idx()
+        self._num_classes = mt.num_classes
+        self._lab2cname = {}
+        for t in tasks:
+            for i, c in enumerate(ev.class_map(t)):
+                self._lab2cname[mt.get_cid(i, t)] = ev.first_classname(c)
+
+        shots = cfg.DATASET.NUM_SAMPLES_PER_CLASS
+        seed = cfg.DATASET.RANDOM_SEED_SAMPLING
+        train_items, test_items = [], []
+        for tid, t in enumerate(tasks):
+            man = mt.manifests[t]
+            off = mt.class_offset[t]
+            for src, dst in ((man.train, train_items), (man.test, test_items)):
+                for it in src:
+                    dst.append(ev.ElevaterItem(
+                        it.impath,
+                        tuple(l + off for l in it.labels),
+                        task_id=tid))
+        # few-shot sample the MERGED manifest, then 80/20 split
+        # (feature.py:843-852)
+        train_items = ev.sample_few_shot_subset(
+            train_items, shots, seed, mt.num_classes)
+        train_items, val_items = ev.train_val_split(
+            train_items, 0.2, seed, mt.num_classes, multilabel=True)
+
+        n_global = mt.num_classes
+
+        def target_fn(it):
+            vec = np.zeros(n_global, np.float32)
+            vec[list(it.labels)] = 1.0
+            return vec
+
+        tfm = _elevater_transform(cfg)
+        bs_train = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
+        bs_test = cfg.DATALOADER.TEST.BATCH_SIZE
+        self.train_loader_x = _make_loader(
+            cfg, train_items, tfm, target_fn, bs_train, True, True)
+        self.val_loader = _make_loader(
+            cfg, val_items, tfm, target_fn, bs_test, False, True) if val_items else None
+        self.test_loader = _make_loader(
+            cfg, test_items, tfm, target_fn, bs_test, False, True)
+        self.train_loader_u = None
+
+    @property
+    def num_classes(self):
+        return self._num_classes
+
+    @property
+    def lab2cname(self):
+        return self._lab2cname
+
+    @property
+    def classnames(self):
+        return [self._lab2cname[i] for i in range(self._num_classes)]
+
+
+def build_data_manager(cfg):
+    """Universe dispatch (mvlpt.py:892-897): DATASET.COOP ->
+    CoopMultitaskDataManager, else MULTITASK -> ElevaterMultitask, else
+    single ELEVATER task."""
+    if cfg.DATASET.COOP:
+        return CoopMultitaskDataManager(cfg)
+    if cfg.DATASET.MULTITASK:
+        return ElevaterMultitaskDataManager(cfg)
+    return ElevaterDataManager(cfg)

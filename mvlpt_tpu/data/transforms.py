@@ -1,0 +1,149 @@
+"""Host-side image preprocessing (PIL + numpy).
+
+Matches the reference preprocessing contracts:
+  * CLIP eval transform (clip/clip.py:73-80): Resize(shorter side -> n_px,
+    bicubic) -> CenterCrop(n_px) -> RGB -> [0,1] -> Normalize(CLIP stats).
+  * Dassl train transform for the CoOp universe
+    (configs/trainers/MVLPT/vit_b16.yaml:13): RandomResizedCrop
+    (scale 0.08-1.0, ratio 3/4-4/3, bicubic) + RandomHorizontalFlip(0.5)
+    + Normalize.
+  * ELEVATER transform (vision_benchmark/evaluation/feature.py:539-553):
+    Resize(size) + CenterCrop when DATASET.CENTER_CROP else a plain
+    Resize((H, W)) warp.
+
+torchvision is not a dependency; the resize/crop semantics are
+implemented directly on PIL images (which is what torchvision does
+under the hood for PIL inputs), so outputs agree with the reference
+pipeline to float tolerance.
+
+Outputs are HWC float32 (TPU-friendly NHWC batching; the reference's
+CHW is a torch convention).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+from PIL import Image
+
+CLIP_PIXEL_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_PIXEL_STD = (0.26862954, 0.26130258, 0.27577711)
+
+_INTERP = {
+    "bilinear": Image.BILINEAR,
+    "bicubic": Image.BICUBIC,
+    "nearest": Image.NEAREST,
+}
+
+
+def _to_array(img: Image.Image, mean, std) -> np.ndarray:
+    arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+    arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    return arr
+
+
+def resize_shorter(img: Image.Image, size: int, interpolation="bicubic") -> Image.Image:
+    w, h = img.size
+    if (w <= h and w == size) or (h <= w and h == size):
+        return img
+    if w < h:
+        return img.resize((size, max(1, int(round(size * h / w)))), _INTERP[interpolation])
+    return img.resize((max(1, int(round(size * w / h))), size), _INTERP[interpolation])
+
+
+def center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    if w < size or h < size:  # pad like torchvision center_crop
+        canvas = Image.new("RGB", (max(w, size), max(h, size)))
+        canvas.paste(img, ((canvas.width - w) // 2, (canvas.height - h) // 2))
+        img, (w, h) = canvas, canvas.size
+    left = int(round((w - size) / 2.0))
+    top = int(round((h - size) / 2.0))
+    return img.crop((left, top, left + size, top + size))
+
+
+class EvalTransform:
+    """CLIP eval preprocessing (clip/clip.py:73-80)."""
+
+    def __init__(self, size=224, interpolation="bicubic",
+                 mean=CLIP_PIXEL_MEAN, std=CLIP_PIXEL_STD,
+                 center_crop_mode=True):
+        self.size = size if isinstance(size, int) else size[0]
+        self.full_size = size if isinstance(size, tuple) else (size, size)
+        self.interpolation = interpolation
+        self.mean, self.std = mean, std
+        self.center_crop_mode = center_crop_mode
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        if self.center_crop_mode:
+            img = resize_shorter(img, self.size, self.interpolation)
+            img = center_crop(img, self.size)
+        else:
+            # ELEVATER default: warp to (H, W) (feature.py:548-553)
+            img = img.resize(self.full_size[::-1] if False else self.full_size,
+                             _INTERP[self.interpolation])
+        return _to_array(img, self.mean, self.std)
+
+
+class TrainTransform:
+    """Dassl-style train preprocessing: random_resized_crop + random_flip
+    + normalize. Each call draws from the provided python Random."""
+
+    def __init__(self, size=224, interpolation="bicubic",
+                 mean=CLIP_PIXEL_MEAN, std=CLIP_PIXEL_STD,
+                 scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
+                 rng: random.Random | None = None):
+        self.size = size if isinstance(size, int) else size[0]
+        self.interpolation = interpolation
+        self.mean, self.std = mean, std
+        self.scale, self.ratio = scale, ratio
+        self.rng = rng or random.Random()
+
+    def _sample_crop(self, w: int, h: int):
+        area = w * h
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            target = area * self.rng.uniform(*self.scale)
+            ar = math.exp(self.rng.uniform(*log_ratio))
+            cw = int(round(math.sqrt(target * ar)))
+            ch = int(round(math.sqrt(target / ar)))
+            if 0 < cw <= w and 0 < ch <= h:
+                x = self.rng.randint(0, w - cw)
+                y = self.rng.randint(0, h - ch)
+                return x, y, cw, ch
+        # fallback: center crop at clamped aspect (torchvision semantics)
+        in_ratio = w / h
+        if in_ratio < self.ratio[0]:
+            cw, ch = w, int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            ch, cw = h, int(round(h * self.ratio[1]))
+        else:
+            cw, ch = w, h
+        return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+    def __call__(self, img: Image.Image) -> np.ndarray:
+        img = img.convert("RGB")
+        x, y, cw, ch = self._sample_crop(*img.size)
+        img = img.resize((self.size, self.size), _INTERP[self.interpolation],
+                         box=(x, y, x + cw, y + ch))
+        if self.rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        return _to_array(img, self.mean, self.std)
+
+
+def build_transform(cfg, is_train: bool):
+    """Transform factory from an INPUT config subtree (Dassl
+    build_transform equivalent, used at mvlpt.py:650-658)."""
+    size = tuple(cfg.INPUT.SIZE) if not isinstance(cfg.INPUT.SIZE, int) else (
+        cfg.INPUT.SIZE, cfg.INPUT.SIZE)
+    kw = dict(
+        interpolation=cfg.INPUT.INTERPOLATION,
+        mean=tuple(cfg.INPUT.PIXEL_MEAN),
+        std=tuple(cfg.INPUT.PIXEL_STD),
+    )
+    if is_train and not cfg.INPUT.NO_TRANSFORM and (
+            "random_resized_crop" in cfg.INPUT.TRANSFORMS):
+        return TrainTransform(size=size[0], scale=tuple(cfg.INPUT.RRCROP_SCALE), **kw)
+    return EvalTransform(size=size[0], **kw)

@@ -1,0 +1,146 @@
+"""Evaluation metrics (numpy/sklearn, host-side).
+
+Covers the metric surface of the reference's
+trainers/vision_benchmark/datasets/metrics.py: the four metrics the main
+path dispatches through ``get_metric`` (metrics.py:1281-1294 — accuracy,
+mean-per-class/balanced accuracy, 11-point mAP, roc_auc) plus the
+commonly used members of the evaluator zoo (top-k, threshold accuracy,
+F1, average precision, tag-wise accuracy, ECE).
+
+All functions take (y_true, y_pred) where y_pred is (N, C) scores and
+y_true is (N,) int labels or (N, C) {0,1} indicators, matching how the
+MVLPT test loop feeds them (mvlpt.py:1047-1061).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _as_int_labels(y_true) -> np.ndarray:
+    y = np.asarray(y_true)
+    return y if y.ndim == 1 else np.argmax(y, axis=-1)
+
+
+def accuracy(y_true, y_pred) -> float:
+    """Top-1 accuracy, y_pred (N, C) scores (metrics.py:1254-1262)."""
+    return top_k_accuracy(y_true, y_pred, k=1)
+
+
+def top_k_accuracy(y_true, y_pred, k: int = 1) -> float:
+    y = _as_int_labels(y_true)
+    topk = np.argsort(-np.asarray(y_pred), axis=-1)[:, :k]
+    return float((topk == y[:, None]).any(axis=-1).mean())
+
+
+def balanced_accuracy(y_true, y_pred) -> float:
+    """Mean per-class recall ('mean-per-class', metrics.py:839-850)."""
+    y = _as_int_labels(y_true)
+    pred = np.argmax(np.asarray(y_pred), axis=-1)
+    classes = np.unique(y)
+    recalls = [(pred[y == c] == c).mean() for c in classes]
+    return float(np.mean(recalls))
+
+
+def _interp_precision(scores, targets, recall_thresholds) -> np.ndarray:
+    """11-point interpolated precision at descending recall thresholds
+    (metrics.py:862-880 semantics via sklearn's PR curve)."""
+    from sklearn.metrics import precision_recall_curve
+
+    precision, recall, _ = precision_recall_curve(targets, scores)
+    out = np.empty(len(recall_thresholds))
+    idx, best = 0, 0.0
+    for i, thr in enumerate(recall_thresholds):
+        while idx < len(recall) and thr <= recall[idx]:
+            best = max(best, precision[idx])
+            idx += 1
+        out[i] = best
+    return out
+
+
+def map_11_points(y_true, y_pred) -> float:
+    """11-point interpolated mAP over classes (VOC2007 protocol,
+    metrics.py:884-896)."""
+    y = np.asarray(y_true)
+    p = np.asarray(y_pred)
+    if y.ndim == 1:
+        y = np.eye(p.shape[1], dtype=np.int64)[y]
+    thresholds = np.linspace(1, 0, 11, endpoint=True).tolist()
+    aps = [
+        np.mean(_interp_precision(p[:, c], y[:, c], thresholds))
+        for c in range(p.shape[1])
+    ]
+    return float(np.mean(aps))
+
+
+def roc_auc(y_true, y_pred) -> float:
+    from sklearn.metrics import roc_auc_score
+
+    return float(roc_auc_score(np.asarray(y_true), np.asarray(y_pred)))
+
+
+def threshold_accuracy(y_true, y_pred, threshold: float = 0.5) -> float:
+    """Per-entry accuracy of thresholded multilabel predictions
+    (metrics.py:293-333)."""
+    y = np.asarray(y_true)
+    p = (np.asarray(y_pred) > threshold).astype(np.int64)
+    return float((p == y).mean())
+
+
+def macro_f1(y_true, y_pred) -> float:
+    from sklearn.metrics import f1_score
+
+    y = _as_int_labels(y_true)
+    pred = np.argmax(np.asarray(y_pred), axis=-1)
+    return float(f1_score(y, pred, average="macro", zero_division=0))
+
+
+def average_precision(y_true, y_pred) -> float:
+    from sklearn.metrics import average_precision_score
+
+    return float(average_precision_score(np.asarray(y_true), np.asarray(y_pred)))
+
+
+def tag_wise_accuracy(y_true, y_pred) -> float:
+    """Mean per-tag binary accuracy (metrics.py:431-482)."""
+    y = np.asarray(y_true)
+    p = (np.asarray(y_pred) > 0.5).astype(np.int64)
+    return float(np.mean([(p[:, c] == y[:, c]).mean() for c in range(y.shape[1])]))
+
+
+def ece_loss(y_true, y_pred, n_bins: int = 15) -> float:
+    """Expected calibration error (metrics.py:485-527)."""
+    y = _as_int_labels(y_true)
+    p = np.asarray(y_pred, np.float64)
+    p = np.exp(p - p.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    conf = p.max(-1)
+    pred = p.argmax(-1)
+    correct = (pred == y).astype(np.float64)
+    ece = 0.0
+    edges = np.linspace(0, 1, n_bins + 1)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        mask = (conf > lo) & (conf <= hi)
+        if mask.any():
+            ece += abs(correct[mask].mean() - conf[mask].mean()) * mask.mean()
+    return float(ece)
+
+
+_METRICS = {
+    "accuracy": accuracy,
+    "mean-per-class": balanced_accuracy,
+    "11point_mAP": map_11_points,
+    "roc_auc": roc_auc,
+    "threshold_accuracy": threshold_accuracy,
+    "macro_f1": macro_f1,
+    "average_precision": average_precision,
+    "tag_wise_accuracy": tag_wise_accuracy,
+    "ece": ece_loss,
+}
+
+
+def get_metric(metric_name: str):
+    """Metric dispatch (metrics.py:1281-1294)."""
+    if metric_name not in _METRICS:
+        raise KeyError(f"Undefined metric {metric_name!r}; known: {sorted(_METRICS)}")
+    return _METRICS[metric_name]

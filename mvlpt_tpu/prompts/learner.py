@@ -79,6 +79,28 @@ class PromptSpec:
         return self.vpt_proj_dim if self.vpt_proj_dim > -1 else self.vision_width
 
 
+class _FrozenArray:
+    """Hashable wrapper so host-only arrays can ride pytree metadata."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, array):
+        self.array = None if array is None else np.asarray(array)
+
+    def __eq__(self, other):
+        if not isinstance(other, _FrozenArray):
+            return NotImplemented
+        if self.array is None or other.array is None:
+            return self.array is other.array
+        return (self.array.shape == other.array.shape
+                and self.array.tobytes() == other.array.tobytes())
+
+    def __hash__(self):
+        if self.array is None:
+            return 0
+        return hash((self.array.shape, self.array.tobytes()))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PromptConsts:
@@ -94,11 +116,13 @@ class PromptConsts:
 
     def tree_flatten(self):
         leaves = (self.token_prefix, self.token_suffix, self.eot_idx, self.perm)
-        return leaves, self.tokenized
+        aux = self.tokenized if isinstance(self.tokenized, _FrozenArray) \
+            else _FrozenArray(self.tokenized)
+        return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, tokenized=aux)
+        return cls(*leaves, tokenized=aux.array if isinstance(aux, _FrozenArray) else aux)
 
 
 def spec_from_cfg(cfg, n_cls: int, clip_cfg: CLIPConfig, classnames=None) -> PromptSpec:

@@ -1,0 +1,471 @@
+"""Trainer engine: the Dassl-TrainerX contract rebuilt for one jitted
+SPMD step.
+
+Reproduces the training semantics the reference inherits from Dassl and
+overrides in MVLPT(TrainerX) (mvlpt.py:827-1125):
+
+  * epoch loop with per-batch metric meters and PRINT_FREQ logging;
+    LR stepping per epoch (folded into the step-indexed schedule);
+  * best-val checkpoint selection (TEST.FINAL_MODEL=best_val) with
+    prompt-only checkpoints under <OUTPUT_DIR>/prompt_learner/;
+  * resume from RESUME dir; warm start from --model-dir via load_model
+    (drops token_prefix/suffix, renames upt_proj, non-strict);
+  * multitask test() with per-task evaluator routing, per-task logit
+    slicing by task_class_idx ranges, overall = average or
+    MULTITASK_EVALKEY (mvlpt.py:989-1088), and `results {...}` prints
+    that scripts/read_record.py-style scrapers can parse;
+  * scalar logging to <OUTPUT_DIR>/tb/scalars.jsonl (tensorboard events
+    optional via TF when installed).
+"""
+
+from __future__ import annotations
+
+import copy
+import datetime
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvlpt_tpu.checkpoint import convert as ckpt_convert
+from mvlpt_tpu.checkpoint import prompt_io
+from mvlpt_tpu.core import clip as clip_core
+from mvlpt_tpu.core.clip import CLIPConfig
+from mvlpt_tpu.data.managers import build_data_manager
+from mvlpt_tpu.evaluation import ClassificationEvaluator
+from mvlpt_tpu.models.custom_clip import MVLPTModel, TaskClassRanges
+from mvlpt_tpu.prompts import (
+    PromptSpec, build_prompt_consts, compute_cut_context_length,
+    init_prompt_params)
+from mvlpt_tpu.train.optim import build_optimizer
+from mvlpt_tpu.train.train_step import (
+    init_train_state, make_eval_step, make_train_step)
+from mvlpt_tpu.utils.registry import TRAINER_REGISTRY
+
+
+def load_clip_backbone(cfg, dtype):
+    """Load CLIP weights for cfg.MODEL.BACKBONE.NAME.
+
+    Resolution order: MVLPT_TPU_CLIP_CKPT env path -> ~/.cache/clip ->
+    download from the OpenAI CDN (load_clip_to_cpu equivalent,
+    mvlpt.py:28-43). MVLPT_TPU_RANDOM_CLIP=1 short-circuits to a random
+    init (offline tests / benchmarks)."""
+    name = cfg.MODEL.BACKBONE.NAME
+    if os.environ.get("MVLPT_TPU_RANDOM_CLIP"):
+        clip_cfg = CLIPConfig.for_backbone(name)
+        params = clip_core.init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+        return clip_core.cast_backbone(params, dtype), clip_cfg
+    env = os.environ.get("MVLPT_TPU_CLIP_CKPT")
+    if env and os.path.exists(env):
+        params, clip_cfg = ckpt_convert.load_clip(env, dtype=dtype)
+    else:
+        params, clip_cfg = ckpt_convert.load_clip(name, dtype=dtype)
+    return clip_core.cast_backbone(params, dtype), clip_cfg
+
+
+class MetricMeter:
+    def __init__(self):
+        self.meters = {}
+
+    def update(self, metrics: dict):
+        for k, v in metrics.items():
+            self.meters.setdefault(k, []).append(float(v))
+
+    def summary(self) -> str:
+        return " ".join(
+            f"{k} {np.mean(v[-20:]):.4f}" for k, v in self.meters.items())
+
+
+class ScalarWriter:
+    """write_scalar equivalent: one JSONL line per scalar."""
+
+    def __init__(self, output_dir):
+        self.path = os.path.join(output_dir, "tb", "scalars.jsonl")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self._f = open(self.path, "a")
+
+    def write_scalar(self, tag, value, step):
+        self._f.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+class PromptTrainer:
+    """Shared engine for the MVLPT / CoOp / CoCoOp trainers."""
+
+    trainer_cfg_key = "MVLPT"
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.output_dir = cfg.OUTPUT_DIR
+        os.makedirs(self.output_dir, exist_ok=True)
+        self.writer = ScalarWriter(self.output_dir)
+        self.epoch = 0
+        self.max_epoch = cfg.OPTIM.MAX_EPOCH
+        self.best_result = -np.inf
+
+        self.multi_task = cfg.DATASET.MULTITASK
+        self.build_data_loader()
+        self.build_model()
+
+    # ---------------------------------------------------------------- config
+    @property
+    def tcfg(self):
+        return self.cfg.TRAINER[self.trainer_cfg_key]
+
+    def check_cfg(self):
+        assert self.tcfg.PREC in ("fp16", "fp32", "amp", "bf16")
+
+    def _dtypes(self):
+        prec = self.tcfg.PREC
+        if prec == "fp32":
+            return jnp.float32, jnp.float32
+        # fp16 / amp / bf16 all mean bf16 on TPU (no loss scaling needed)
+        return jnp.dtype(self.cfg.TPU.PARAM_DTYPE), jnp.dtype(
+            self.cfg.TPU.COMPUTE_DTYPE)
+
+    def build_spec(self, clip_cfg: CLIPConfig, classnames) -> PromptSpec:
+        """MVLPT spec from TRAINER.MVLPT.* (overridden by CoOp/CoCoOp)."""
+        from mvlpt_tpu.prompts import spec_from_cfg
+
+        return spec_from_cfg(self.cfg, len(classnames), clip_cfg, classnames)
+
+    def ctx_inits(self):
+        return self.tcfg.COOP.CTX_INIT, self.tcfg.COCOOP.CTX_INIT
+
+    # ------------------------------------------------------------------ data
+    def build_data_loader(self):
+        dm = build_data_manager(self.cfg)
+        self.dm = dm
+        self.train_loader_x = dm.train_loader_x
+        self.val_loader = dm.val_loader
+        self.test_loader = dm.test_loader
+        self.num_classes = dm.num_classes
+        self.lab2cname = dm.lab2cname
+
+    # ----------------------------------------------------------------- model
+    def build_model(self):
+        cfg = self.cfg
+        self.check_cfg()
+        param_dtype, compute_dtype = self._dtypes()
+        if cfg.DATASET.COOP:
+            classnames = self.dm.classnames
+        else:
+            classnames = list(self.dm.lab2cname.values())
+
+        print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
+        self.backbone, self.clip_cfg = load_clip_backbone(cfg, param_dtype)
+
+        print("Building custom CLIP")
+        self.spec = self.build_spec(self.clip_cfg, classnames)
+        coop_init, cocoop_init = self.ctx_inits()
+        self.prompt_params = init_prompt_params(
+            jax.random.PRNGKey(max(cfg.SEED, 0)), self.spec,
+            clip_params=self.backbone,
+            coop_ctx_init=coop_init, cocoop_ctx_init=cocoop_init)
+        self.consts = build_prompt_consts(
+            classnames, self.spec, self.backbone, compute_dtype,
+            ctx_init=coop_init or cocoop_init)
+        print("Current Context Length is:", self.spec.context_length)
+
+        self.task_ranges = None
+        if cfg.DATASET.MULTITASK_LABEL_PERTASK and hasattr(self.dm, "_task_class_idx"):
+            idx = self.dm._task_class_idx
+            starts = [idx[t][0] for t in self.dm._task_names]
+            ends = [idx[t][1] for t in self.dm._task_names]
+            self.task_ranges = TaskClassRanges(
+                start=jnp.asarray(starts), end=jnp.asarray(ends))
+
+        use_remat = cfg.TRAINER.ACT_CKPT > 1 or cfg.TRAINER.CUT_CONTEXTLEN
+        self.model = MVLPTModel(
+            clip_cfg=self.clip_cfg, spec=self.spec, remat=use_remat,
+            compute_dtype=compute_dtype)
+
+        n_prompt = clip_core.count_params(self.prompt_params)
+        n_clip = clip_core.count_params(self.backbone)
+        print(f"Tunable Param: {n_prompt/1e6}M, Original CLIP {n_clip/1e6}M")
+
+        steps_per_epoch = max(1, len(self.train_loader_x))
+        self.steps_per_epoch = steps_per_epoch
+        self.tx, self.lr_schedule = build_optimizer(cfg.OPTIM, steps_per_epoch)
+        self.state = init_train_state(self.prompt_params, self.tx)
+        self.train_step = make_train_step(self.model, self.tx, self.task_ranges)
+        self.eval_step = make_eval_step(self.model, self.task_ranges)
+        self.evaluator = ClassificationEvaluator(self.lab2cname)
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        cfg = self.cfg
+        if cfg.RESUME:
+            self.resume_from_checkpoint(cfg.RESUME)
+        start = time.time()
+        for self.epoch in range(self.epoch, self.max_epoch):
+            self.run_epoch()
+            self.after_epoch()
+        self.after_train()
+        elapsed = round(time.time() - start)
+        print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
+
+    def run_epoch(self):
+        meter = MetricMeter()
+        num_batches = len(self.train_loader_x)
+        rng = jax.random.PRNGKey(max(self.cfg.SEED, 0) * 131 + self.epoch)
+        for batch_idx, batch in enumerate(self.train_loader_x):
+            step_rng = jax.random.fold_in(rng, batch_idx)
+            device_batch = {
+                "image": jnp.asarray(batch["image"]),
+                "label": jnp.asarray(batch["label"]),
+            }
+            if "task" in batch:
+                device_batch["task"] = jnp.asarray(batch["task"])
+            self.state, metrics = self.train_step(
+                self.state, self.backbone, self.consts, device_batch, step_rng)
+            meter.update({k: v for k, v in metrics.items()})
+            if "task" in batch:
+                meter.update({"num_tasks": len(set(batch["task"].tolist()))})
+            if (batch_idx + 1) % max(1, self.cfg.TRAIN.PRINT_FREQ) == 0:
+                lr = float(self.lr_schedule(self.state.step - 1))
+                print(f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                      f"batch [{batch_idx + 1}/{num_batches}] "
+                      f"{meter.summary()} lr {lr:.4e}")
+
+    def after_epoch(self):
+        cfg = self.cfg
+        last_epoch = (self.epoch + 1) == self.max_epoch
+        do_test = not cfg.TEST.NO_TEST
+        meet_freq = (cfg.TRAIN.CHECKPOINT_FREQ > 0 and
+                     (self.epoch + 1) % cfg.TRAIN.CHECKPOINT_FREQ == 0)
+        if do_test and cfg.TEST.FINAL_MODEL == "best_val" and self.val_loader:
+            result = self.test(split="val")
+            if result > self.best_result:
+                self.best_result = result
+                self.save_checkpoint(best=True, val_result=result)
+        if meet_freq or last_epoch:
+            self.save_checkpoint(val_result=self.best_result)
+
+    def after_train(self):
+        cfg = self.cfg
+        if not cfg.TEST.NO_TEST:
+            if cfg.TEST.FINAL_MODEL == "best_val" and self.val_loader:
+                print("Deploy the model with the best val performance")
+                best = prompt_io.checkpoint_path(self.output_dir)
+                if os.path.exists(best):
+                    self.load_model(self.output_dir)
+            self.test()
+        self.writer.close()
+
+    # ------------------------------------------------------------- inference
+    def model_inference(self, images, tasks=None):
+        batch = {"image": images}
+        if tasks is not None:
+            batch["task"] = tasks
+        return self.eval_step(self.backbone, self.state.prompt_params,
+                              self.consts, batch)
+
+    def test(self, split=None) -> float:
+        """Per-task evaluation (mvlpt.py:989-1088)."""
+        cfg = self.cfg
+        if split is None:
+            split = cfg.TEST.SPLIT
+        if split == "val" and self.val_loader is not None:
+            loader = self.val_loader
+        else:
+            split = "test"
+            loader = self.test_loader
+        print(f"Evaluate on the *{split}* set")
+
+        self.evaluator.reset()
+        elevater_pred, elevater_true = [], []
+        task_eval = {}
+        if self.multi_task:
+            if cfg.DATASET.COOP:
+                task_eval = {t: self.evaluator.clone() for t in self.dm._task_names}
+            else:
+                task_eval = {t: {"y_pred": [], "y_true": []}
+                             for t in self.dm._task_names}
+
+        for batch in loader:
+            n_valid = batch.get("n_valid", len(batch["image"]))
+            images = jnp.asarray(batch["image"])
+            tasks = jnp.asarray(batch["task"]) if "task" in batch else None
+            logits = np.asarray(self.model_inference(images, tasks))[:n_valid]
+            labels = np.asarray(batch["label"])[:n_valid]
+            if cfg.DATASET.COOP:
+                self.evaluator.process(logits, labels)
+            else:
+                elevater_pred.append(logits)
+                elevater_true.append(labels)
+            if tasks is not None:
+                tasks_np = np.asarray(batch["task"])[:n_valid]
+                for out, lab, tid in zip(logits, labels, tasks_np):
+                    task = self.dm._id2task[int(tid)]
+                    if cfg.DATASET.COOP:
+                        lo, hi = self.dm._task_class_idx[task]
+                        task_eval[task].process(out[None, lo:hi],
+                                                np.asarray([lab - lo]))
+                    else:
+                        task_eval[task]["y_pred"].append(out[None])
+                        task_eval[task]["y_true"].append(lab[None])
+
+        results_overall = {}
+        for task, ev in task_eval.items():
+            print(f"evaluate on the *{task}* !")
+            if cfg.DATASET.COOP:
+                results = ev.evaluate()
+                results_overall[task] = results["accuracy"]
+            else:
+                y_true = np.concatenate(ev["y_true"], axis=0)
+                y_pred = np.concatenate(ev["y_pred"], axis=0)
+                lo, hi = self.dm._task_class_idx[task]
+                y_true, y_pred = y_true[:, lo:hi], y_pred[:, lo:hi]
+                if self.dm._metric_name[task] == "accuracy":
+                    y_true = np.argmax(y_true, axis=-1)
+                value = self.dm._metric[task](y_true, y_pred)
+                results = {self.dm._metric_name[task]: value}
+                results_overall[task] = value
+            print("results", results)
+            for k, v in results.items():
+                self.writer.write_scalar(f"{split}/{task}/{k}", v, self.epoch)
+
+        print("Overall evaluation !")
+        if self.multi_task:
+            evalkey = cfg.DATASET.MULTITASK_EVALKEY
+            if evalkey == "average":
+                results = {"average": sum(results_overall.values())
+                           / max(1, len(results_overall))}
+            else:
+                assert evalkey in results_overall
+                results = {evalkey: results_overall[evalkey]}
+        elif not cfg.DATASET.COOP:
+            y_true = np.concatenate(elevater_true, axis=0)
+            y_pred = np.concatenate(elevater_pred, axis=0)
+            results = {self.dm._metric_name: self.dm._metric(y_true, y_pred)}
+        else:
+            results = self.evaluator.evaluate()
+        print("results", results)
+        for k, v in results.items():
+            self.writer.write_scalar(f"/{split}/{k}", v, self.epoch)
+        return float(list(results.values())[0])
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, best: bool = False, val_result=None):
+        path = prompt_io.checkpoint_path(
+            self.output_dir, epoch=None if best else self.epoch + 1)
+        prompt_io.save_prompt_checkpoint(
+            path, self.state.prompt_params, self.epoch + 1, val_result)
+        print(f"Checkpoint saved to {path}")
+
+    def load_model(self, directory, epoch=None):
+        """Warm start / eval load (mvlpt.py:1090-1125)."""
+        if not directory:
+            print("Note that load_model() is skipped as no pretrained model "
+                  "is given")
+            return
+        path = prompt_io.checkpoint_path(directory, epoch)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f'Model not found at "{path}"')
+        payload = prompt_io.load_prompt_checkpoint(path)
+        print(f'Loading weights to prompt_learner from "{path}" '
+              f'(epoch = {payload["epoch"]})')
+        params, loaded, skipped = prompt_io.apply_state_dict(
+            self.state.prompt_params, payload["state_dict"])
+        if skipped:
+            print(f"  skipped keys: {skipped}")
+        self.state = init_train_state(params, self.tx)
+
+    def resume_from_checkpoint(self, directory):
+        files = []
+        pdir = os.path.join(directory, "prompt_learner")
+        if os.path.isdir(pdir):
+            files = [f for f in os.listdir(pdir) if f.startswith("model.pth.tar-")]
+        if not files:
+            print(f"No checkpoint found in {directory}, starting fresh")
+            return
+        last = max(int(f.rsplit("-", 1)[1]) for f in files)
+        payload = prompt_io.load_prompt_checkpoint(
+            prompt_io.checkpoint_path(directory, last))
+        params, _, _ = prompt_io.apply_state_dict(
+            self.state.prompt_params, payload["state_dict"])
+        self.state = init_train_state(params, self.tx)
+        self.epoch = payload["epoch"]
+        print(f"Resumed from epoch {self.epoch}")
+
+
+@TRAINER_REGISTRY.register()
+class MVLPT(PromptTrainer):
+    """Multitask vision-language prompt tuning (mvlpt.py:827)."""
+
+    trainer_cfg_key = "MVLPT"
+
+
+@TRAINER_REGISTRY.register()
+class CoOp(PromptTrainer):
+    """Text-context prompt tuning (coop.py:502); spec from TRAINER.COOP."""
+
+    trainer_cfg_key = "COOP"
+
+    def check_cfg(self):
+        assert self.cfg.TRAINER.COOP.PREC in ("fp16", "fp32", "amp", "bf16")
+
+    def build_spec(self, clip_cfg, classnames):
+        t = self.cfg.TRAINER.COOP
+        n_ctx = t.N_CTX
+        if t.CTX_INIT:
+            n_ctx = len(t.CTX_INIT.replace("_", " ").split(" "))
+        context_length = clip_cfg.context_length
+        if self.cfg.TRAINER.CUT_CONTEXTLEN:
+            context_length = compute_cut_context_length(
+                classnames, n_ctx, clip_cfg.context_length)
+        return PromptSpec(
+            n_cls=len(classnames), coop_n_ctx=n_ctx, coop_csc=t.CSC,
+            class_token_position=t.CLASS_TOKEN_POSITION,
+            context_length=context_length,
+            vision_layers=clip_cfg.vision_layers,
+            vision_width=clip_cfg.vision_width,
+            text_width=clip_cfg.transformer_width,
+            embed_dim=clip_cfg.embed_dim,
+            vision_patch_size=clip_cfg.vision_patch_size)
+
+    def ctx_inits(self):
+        return self.cfg.TRAINER.COOP.CTX_INIT, ""
+
+
+@TRAINER_REGISTRY.register()
+class CoCoOp(PromptTrainer):
+    """Conditional prompt tuning (cocoop.py:197); spec from TRAINER.COCOOP."""
+
+    trainer_cfg_key = "COCOOP"
+
+    def check_cfg(self):
+        assert self.cfg.TRAINER.COCOOP.PREC in ("fp16", "fp32", "amp", "bf16")
+
+    def build_spec(self, clip_cfg, classnames):
+        t = self.cfg.TRAINER.COCOOP
+        n_ctx = t.N_CTX
+        if t.CTX_INIT:
+            n_ctx = len(t.CTX_INIT.replace("_", " ").split(" "))
+        context_length = clip_cfg.context_length
+        if self.cfg.TRAINER.CUT_CONTEXTLEN:
+            context_length = compute_cut_context_length(
+                classnames, n_ctx, clip_cfg.context_length)
+        return PromptSpec(
+            n_cls=len(classnames), cocoop_n_ctx=n_ctx,
+            context_length=context_length,
+            vision_layers=clip_cfg.vision_layers,
+            vision_width=clip_cfg.vision_width,
+            text_width=clip_cfg.transformer_width,
+            embed_dim=clip_cfg.embed_dim,
+            vision_patch_size=clip_cfg.vision_patch_size)
+
+    def ctx_inits(self):
+        return "", self.cfg.TRAINER.COCOOP.CTX_INIT
+
+
+def build_trainer(cfg):
+    return TRAINER_REGISTRY.get(cfg.TRAINER.NAME)(cfg)

@@ -29,14 +29,18 @@ class _Tee:
         self.stream = stream
         self.file = open(fpath, "a")
 
+    def retarget(self, fpath):
+        self.file.close()
+        self.file = open(fpath, "a")
+
     def write(self, msg):
         self.stream.write(msg)
         self.file.write(msg)
+        self.file.flush()
 
     def flush(self):
         self.stream.flush()
         self.file.flush()
-        os.fsync(self.file.fileno())
 
 
 def setup_logger(output_dir: str | None = None) -> logging.Logger:
@@ -60,6 +64,8 @@ def setup_logger(output_dir: str | None = None) -> logging.Logger:
         fh.setFormatter(fmt)
         logger.addHandler(fh)
         # Also tee raw prints (the `results {...}` contract is print-based).
-        if not isinstance(sys.stdout, _Tee):
-            sys.stdout = _Tee(sys.__stdout__, fpath)
+        if isinstance(sys.stdout, _Tee):
+            sys.stdout.retarget(fpath)
+        else:
+            sys.stdout = _Tee(sys.stdout, fpath)
     return logger

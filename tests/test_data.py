@@ -1,0 +1,146 @@
+"""Data layer tests: CoOp loaders (split json, few-shot cache,
+subsample), multitask label offsets, ELEVATER manifests + sampling +
+splits, transforms, metrics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mvlpt_tpu.config import get_cfg_default
+from mvlpt_tpu.data.managers import (
+    CoopMultitaskDataManager, ElevaterDataManager,
+    ElevaterMultitaskDataManager)
+from mvlpt_tpu.data.datum import DatasetBase, Datum
+from mvlpt_tpu.evaluation.metrics import get_metric
+from tests.util_fixtures import make_coop_dataset, make_elevater_task
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    c = get_cfg_default()
+    c.DATASET.ROOT = str(tmp_path)
+    c.SEED = 1
+    c.DATALOADER.NUM_WORKERS = 0
+    c.DATALOADER.TRAIN_X.BATCH_SIZE = 4
+    c.DATALOADER.TEST.BATCH_SIZE = 4
+    c.INPUT.SIZE = (32, 32)
+    c.INPUT.INTERPOLATION = "bicubic"
+    c.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip", "normalize")
+    return c
+
+
+def test_coop_single_dataset_and_fewshot_cache(cfg, tmp_path):
+    make_coop_dataset(tmp_path)
+    cfg.DATASET.DATASET = "OxfordPets"
+    cfg.DATASET.COOP = True
+    cfg.DATASET.NUM_SHOTS = 2
+    dm = CoopMultitaskDataManager(cfg)
+    assert dm.num_classes == 2
+    assert dm.classnames == ["abyssinian", "beagle"]
+    # 2 shots x 2 classes
+    assert len(dm.train_loader_x.dataset) == 4
+    # few-shot pickle cache created with reference-compatible name
+    assert os.path.exists(
+        tmp_path / "oxford_pets" / "split_fewshot" / "shot_2-seed_1.pkl")
+    batch = next(iter(dm.train_loader_x))
+    assert batch["image"].shape == (4, 32, 32, 3)
+    assert batch["image"].dtype == np.float32
+
+
+def test_coop_multitask_label_offsets(cfg, tmp_path):
+    make_coop_dataset(tmp_path, "oxford_pets", ("abyssinian", "beagle"))
+    make_coop_dataset(tmp_path, "caltech-101", ("face", "leopard", "motorbike"),
+                      split_name="split_zhou_Caltech101.json",
+                      image_subdir="101_ObjectCategories")
+    cfg.DATASET.DATASET = "OxfordPets,Caltech101"
+    cfg.DATASET.COOP = True
+    cfg.DATASET.MULTITASK = True
+    dm = CoopMultitaskDataManager(cfg)
+    assert dm.num_classes == 5
+    assert dm._task_class_idx == {"OxfordPets": (0, 2), "Caltech101": (2, 5)}
+    labels = {d.label for d in dm.test_loader.dataset.items}
+    assert labels == {0, 1, 2, 3, 4}
+    doms = {d.domain for d in dm.test_loader.dataset.items}
+    assert doms == {0, 1}
+    batch = next(iter(dm.test_loader))
+    assert "task" in batch
+
+
+def test_subsample_base_new():
+    items = [Datum(impath="x", label=i % 4, classname=f"c{i % 4}")
+             for i in range(8)]
+    (base,) = DatasetBase.subsample_classes(items, subsample="base")
+    (new,) = DatasetBase.subsample_classes(items, subsample="new")
+    assert {d.label for d in base} == {0, 1} and {d.classname for d in base} == {"c0", "c1"}
+    assert {d.label for d in new} == {0, 1} and {d.classname for d in new} == {"c2", "c3"}
+
+
+def test_elevater_single_task(cfg, tmp_path):
+    make_elevater_task(tmp_path, "cifar-10", 10, n_train=20, n_test=8)
+    cfg.DATASET.DATASET = "cifar-10"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    dm = ElevaterDataManager(cfg)
+    assert dm.num_classes == 10
+    assert dm._metric_name == "accuracy"
+    assert dm.lab2cname[0] == "airplane"
+    batch = next(iter(dm.test_loader))
+    assert batch["image"].shape[0] == 4
+    assert batch["label"].ndim == 1  # multiclass -> int labels
+
+
+def test_elevater_multilabel_and_multitask(cfg, tmp_path):
+    make_elevater_task(tmp_path, "voc-2007-classification", 20,
+                       n_train=30, n_test=8, multilabel=True)
+    make_elevater_task(tmp_path, "cifar-10", 10, n_train=20, n_test=8)
+    cfg.DATASET.DATASET = "voc-2007-classification,cifar-10"
+    cfg.DATASET.MULTITASK = True
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 5
+    dm = ElevaterMultitaskDataManager(cfg)
+    assert dm.num_classes == 30
+    assert dm._task_class_idx["voc-2007-classification"] == (0, 20)
+    assert dm._task_class_idx["cifar-10"] == (20, 30)
+    assert dm._metric_name["voc-2007-classification"] == "11point_mAP"
+    batch = next(iter(dm.test_loader))
+    assert batch["label"].shape[1] == 30  # global k-hot
+    assert batch["task"].max() <= 1
+
+
+def test_fewshot_sampling_seeded():
+    items = [Datum(impath=str(i), label=i % 3) for i in range(30)]
+    a = DatasetBase.generate_fewshot_dataset(items, 2, seed=7)
+    b = DatasetBase.generate_fewshot_dataset(items, 2, seed=7)
+    c = DatasetBase.generate_fewshot_dataset(items, 2, seed=8)
+    assert [d.impath for d in a] == [d.impath for d in b]
+    assert [d.impath for d in a] != [d.impath for d in c]
+    assert len(a) == 6
+
+
+def test_metrics_golden_values():
+    y = np.array([0, 1, 1, 0])
+    logits = np.array([[2.0, 1.0], [0.0, 1.0], [1.0, 0.0], [3.0, -1.0]])
+    assert get_metric("accuracy")(y, logits) == 0.75
+    # balanced: class0 recall 1.0, class1 recall 0.5 -> 0.75
+    assert get_metric("mean-per-class")(y, logits) == 0.75
+    auc = get_metric("roc_auc")(y, logits[:, 1] - logits[:, 0])
+    assert 0.0 <= auc <= 1.0
+    khot = np.eye(2)[y]
+    m = get_metric("11point_mAP")(khot, logits)
+    assert 0.0 < m <= 1.0
+
+
+def test_eval_transform_golden():
+    from PIL import Image
+
+    from mvlpt_tpu.data.transforms import EvalTransform
+
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, (48, 64, 3), np.uint8))
+    out = EvalTransform(size=32)(img)
+    assert out.shape == (32, 32, 3)
+    # normalization: a mid-gray image maps near (0.5-mean)/std
+    gray = Image.new("RGB", (40, 40), (128, 128, 128))
+    got = EvalTransform(size=32)(gray)[0, 0]
+    want = (128 / 255 - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array(
+        [0.26862954, 0.26130258, 0.27577711])
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -1,0 +1,122 @@
+"""End-to-end trainer tests through the CLI surface (SURVEY.md §4 item 6):
+tiny synthetic datasets + random-init CLIP, few epochs, checking the
+checkpoint/best-val/eval-only/warm-start/resume contracts."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mvlpt_tpu.cli.train import build_parser, main
+from tests.util_fixtures import make_coop_dataset, make_elevater_task
+
+TINY_OPTS = [
+    "OPTIM.MAX_EPOCH", "2", "OPTIM.LR", "0.05", "OPTIM.WARMUP_EPOCH", "0",
+    "OPTIM.LR_SCHEDULER", "cosine",
+    "DATALOADER.TRAIN_X.BATCH_SIZE", "4", "DATALOADER.TEST.BATCH_SIZE", "4",
+    "DATALOADER.NUM_WORKERS", "0",
+    "INPUT.SIZE", "(32, 32)",
+    "INPUT.TRANSFORMS", "('random_resized_crop', 'random_flip', 'normalize')",
+    "MODEL.BACKBONE.NAME", "ViT-B/32",
+    "TRAINER.MVLPT.COOP.N_CTX", "2", "TRAINER.MVLPT.VPT.N_CTX", "2",
+    "TRAINER.MVLPT.PROJECT_DIM", "8",
+    "TEST.FINAL_MODEL", "best_val",
+    "TRAIN.PRINT_FREQ", "1",
+]
+
+
+@pytest.fixture(autouse=True)
+def random_clip(monkeypatch):
+    monkeypatch.setenv("MVLPT_TPU_RANDOM_CLIP", "1")
+    # tiny towers for speed: monkeypatch the arch table
+    from mvlpt_tpu.core import clip as cc
+
+    monkeypatch.setitem(cc.VIT_ARCHS, "ViT-B/32", dict(
+        embed_dim=16, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8))
+    monkeypatch.setitem(cc._TEXT_ARCHS, 16, dict(
+        transformer_width=32, transformer_heads=2, transformer_layers=2))
+
+
+def _run(argv):
+    return main(build_parser().parse_args(argv))
+
+
+def test_mvlpt_coop_universe_end_to_end(tmp_path):
+    make_coop_dataset(tmp_path / "data")
+    out = str(tmp_path / "out")
+    trainer = _run([
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+        "--seed", "1", "--shots", "2", "--cut-contextlen",
+        *TINY_OPTS,
+    ])
+    # checkpoints with reference-compatible names
+    assert os.path.exists(os.path.join(out, "prompt_learner", "model-best.pth.tar"))
+    assert os.path.exists(os.path.join(out, "prompt_learner", "model.pth.tar-2"))
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "results" in log
+
+    # eval-only from the trained dir
+    trainer2 = _run([
+        "--root", str(tmp_path / "data"), "--output-dir", str(tmp_path / "out2"),
+        "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+        "--seed", "1", "--shots", "2", "--cut-contextlen", "--eval-only",
+        "--model-dir", out,
+        *TINY_OPTS,
+    ])
+    a = np.concatenate([np.asarray(x).ravel() for x in
+                        _leaves(trainer.state.prompt_params)])
+    b = np.concatenate([np.asarray(x).ravel() for x in
+                        _leaves(trainer2.state.prompt_params)])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def _leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
+def test_multitask_coop_training(tmp_path):
+    make_coop_dataset(tmp_path / "data")
+    make_coop_dataset(tmp_path / "data", "caltech-101", ("face", "leopard"),
+                      split_name="split_zhou_Caltech101.json",
+                      image_subdir="101_ObjectCategories")
+    out = str(tmp_path / "out_mt")
+    trainer = _run([
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "MVLPT", "--dataset-coop", "--multi-task",
+        "--dataset", "OxfordPets,Caltech101",
+        "--seed", "1", "--shots", "2",
+        *TINY_OPTS,
+    ])
+    assert trainer.num_classes == 4
+    assert trainer.dm._task_class_idx["Caltech101"] == (2, 4)
+
+
+def test_elevater_single_task_training(tmp_path):
+    make_elevater_task(tmp_path / "data", "cifar-10", 10, n_train=20, n_test=8)
+    out = str(tmp_path / "out_ev")
+    trainer = _run([
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "MVLPT", "--dataset", "cifar-10",
+        "--seed", "1", "--shots", "2",
+        *TINY_OPTS,
+    ])
+    assert trainer.num_classes == 10
+
+
+def test_zeroshot_clip(tmp_path):
+    make_coop_dataset(tmp_path / "data")
+    out = str(tmp_path / "out_zs")
+    trainer = _run([
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "ZeroshotCLIP", "--dataset-coop", "--dataset", "OxfordPets",
+        "--seed", "1", "--no-train", "--eval-only",
+        "DATALOADER.TEST.BATCH_SIZE", "4", "DATALOADER.NUM_WORKERS", "0",
+        "INPUT.SIZE", "(32, 32)", "MODEL.BACKBONE.NAME", "ViT-B/32",
+        "DATASET.NAME", "OxfordPets",
+    ])
+    assert trainer.text_features.shape[0] == 2
