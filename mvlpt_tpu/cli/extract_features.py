@@ -1,0 +1,108 @@
+"""ELEVATER feature caching (rebuild of
+trainers/vision_benchmark/evaluation/feature.py:324-535):
+
+  * image features: frozen CLIP visual tower over each split -> npz
+  * text features: per-class prompt-template averaging over the task's
+    template pool (template_map) -> npz
+
+The reference's external-knowledge text sources (WordNet/Wiktionary/
+GPT-3 tsv files under resources/knowledge/) plug into the same hook via
+--knowledge-tsv files of `classname<TAB>description` rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def cli():
+    import jax
+    import jax.numpy as jnp
+
+    from mvlpt_tpu.config import get_cfg_default
+    from mvlpt_tpu.core import clip as clip_core
+    from mvlpt_tpu.data.elevater import class_map, template_map
+    from mvlpt_tpu.data.elevater.manifest import first_classname
+    from mvlpt_tpu.data.managers import build_data_manager
+    from mvlpt_tpu.models.zsclip import encode_class_text_features
+    from mvlpt_tpu.train.trainer import load_clip_backbone
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--root", required=True)
+    p.add_argument("--dataset", required=True, help="ELEVATER task name")
+    p.add_argument("--backbone", default="ViT-B/32")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--shots", type=int, default=-1)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--knowledge-tsv", nargs="*", default=[],
+                   help="classname<TAB>description files appended to prompts")
+    args = p.parse_args()
+
+    cfg = get_cfg_default()
+    cfg.DATASET.ROOT = args.root
+    cfg.DATASET.DATASET = args.dataset
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = args.shots
+    cfg.DATASET.RANDOM_SEED_SAMPLING = args.seed
+    cfg.MODEL.BACKBONE.NAME = args.backbone
+    cfg.DATALOADER.TEST.BATCH_SIZE = args.batch_size
+    cfg.DATALOADER.TRAIN_X.BATCH_SIZE = args.batch_size
+    cfg.freeze()
+
+    backbone, clip_cfg = load_clip_backbone(cfg, jnp.bfloat16)
+    dm = build_data_manager(cfg)
+
+    @jax.jit
+    def visual(images):
+        return clip_core.encode_image(backbone, images, clip_cfg)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    for split, loader in (("train", dm.train_loader_x), ("val", dm.val_loader),
+                          ("test", dm.test_loader)):
+        if loader is None:
+            continue
+        loader.shuffle = False
+        feats, labels = [], []
+        for batch in loader:
+            n = batch.get("n_valid", len(batch["image"]))
+            feats.append(np.asarray(
+                visual(jnp.asarray(batch["image"])), np.float32)[:n])
+            labels.append(np.asarray(batch["label"])[:n])
+        np.savez(os.path.join(args.output_dir, f"{split}.npz"),
+                 feature_list=np.concatenate(feats),
+                 label_list=np.concatenate(labels))
+        print(f"{split}: {sum(len(l) for l in labels)} image features")
+
+    # ---- text features: template averaging (+ optional knowledge rows)
+    knowledge = {}
+    for tsv in args.knowledge_tsv:
+        with open(tsv) as f:
+            for line in f:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    knowledge.setdefault(parts[0], []).append(parts[1])
+
+    classnames = [first_classname(c) for c in class_map(args.dataset)]
+    templates = template_map(args.dataset)
+    text = encode_class_text_features(backbone, clip_cfg, classnames, templates)
+    if knowledge:
+        extra = []
+        for c in classnames:
+            descs = knowledge.get(c, [])
+            extra.append(f"{c}. {' '.join(descs)[:200]}" if descs else c)
+        from mvlpt_tpu.models.zsclip import encode_class_text_features as enc
+
+        text_k = enc(backbone, clip_cfg, extra, ["a photo of a {}."])
+        text = text + text_k
+        text = text / jnp.linalg.norm(text, axis=-1, keepdims=True)
+    np.savez(os.path.join(args.output_dir, "text.npz"),
+             text_features=np.asarray(text, np.float32),
+             classnames=np.asarray(classnames, object))
+    print(f"text: {len(classnames)} classes x {len(templates)} templates")
+
+
+if __name__ == "__main__":
+    cli()

@@ -93,8 +93,8 @@ def probe(args):
         args.report_dir, f"{tag}_s{args.num_step}r{args.num_run}.txt")
 
     def fit_acc(c, x, y, ex, ey):
-        clf = LogisticRegression(solver="lbfgs", max_iter=1000, penalty="l2",
-                                 C=c).fit(x, y)
+        # l2 penalty (sklearn default), C swept per the CLIP A3 protocol
+        clf = LogisticRegression(solver="lbfgs", max_iter=1000, C=c).fit(x, y)
         return clf, float((clf.predict(ex) == ey).mean())
 
     for num_shot in args.shots:

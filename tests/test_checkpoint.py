@@ -1,0 +1,87 @@
+"""Prompt checkpoint IO: roundtrip, legacy-key rename, buffer dropping,
+non-strict merge, cross-seed averaging (contracts at mvlpt.py:1090-1125
+and scripts/avg_ckpt.py:21-66)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mvlpt_tpu.checkpoint.prompt_io import (
+    apply_state_dict, average_checkpoints, checkpoint_path, flatten_params,
+    load_prompt_checkpoint, save_prompt_checkpoint, unflatten_params)
+
+
+@pytest.fixture()
+def params():
+    return {
+        "coop": {"ctx": jnp.ones((4, 8))},
+        "vpt": {"embeddings": jnp.full((1, 2, 8), 2.0)},
+        "mvlpt_proj": {"coop_pre": {"kernel": jnp.zeros((8, 4)),
+                                    "bias": jnp.zeros((4,))}},
+    }
+
+
+def test_roundtrip(tmp_path, params):
+    path = checkpoint_path(str(tmp_path), epoch=3)
+    save_prompt_checkpoint(path, params, epoch=3, val_result=0.5)
+    payload = load_prompt_checkpoint(path)
+    assert payload["epoch"] == 3 and payload["val_result"] == 0.5
+    restored, loaded, skipped = apply_state_dict(params, payload["state_dict"])
+    assert loaded == 4 and not skipped
+    np.testing.assert_array_equal(
+        np.asarray(restored["coop"]["ctx"]), np.ones((4, 8)))
+
+
+def test_legacy_upt_rename_and_buffer_drop(tmp_path, params):
+    path = checkpoint_path(str(tmp_path))
+    save_prompt_checkpoint(path, params, epoch=1)
+    import pickle
+
+    payload = pickle.load(open(path, "rb"))
+    sd = payload["state_dict"]
+    # simulate a legacy reference checkpoint
+    sd["upt_proj.coop_pre.kernel"] = sd.pop("mvlpt_proj.coop_pre.kernel") + 7
+    sd["token_prefix"] = np.zeros((2, 1, 8))
+    sd["token_suffix"] = np.zeros((2, 3, 8))
+    pickle.dump(payload, open(path, "wb"))
+
+    loaded = load_prompt_checkpoint(path)
+    assert "token_prefix" not in loaded["state_dict"]
+    assert "mvlpt_proj.coop_pre.kernel" in loaded["state_dict"]
+    restored, n, skipped = apply_state_dict(params, loaded["state_dict"])
+    assert np.allclose(
+        np.asarray(restored["mvlpt_proj"]["coop_pre"]["kernel"]), 7.0)
+
+
+def test_nonstrict_merge_skips_mismatches(params):
+    sd = flatten_params(params)
+    sd["coop.ctx"] = np.zeros((9, 9))  # wrong shape
+    sd["unknown.key"] = np.zeros(3)
+    restored, loaded, skipped = apply_state_dict(params, sd)
+    assert "coop.ctx" in skipped and "unknown.key" in skipped
+    np.testing.assert_array_equal(
+        np.asarray(restored["coop"]["ctx"]), np.ones((4, 8)))
+
+
+def test_average_checkpoints(tmp_path, params):
+    import dataclasses
+
+    paths = []
+    for seed, scale in ((1, 1.0), (2, 3.0)):
+        d = str(tmp_path / f"seed{seed}")
+        p = checkpoint_path(d)
+        scaled = {
+            "coop": {"ctx": params["coop"]["ctx"] * scale},
+            "vpt": {"embeddings": params["vpt"]["embeddings"]},
+        }
+        save_prompt_checkpoint(p, scaled, epoch=5, val_result=scale)
+        paths.append(p)
+    avg = average_checkpoints(paths)
+    np.testing.assert_allclose(avg["state_dict"]["coop.ctx"], 2.0)
+    assert avg["val_result"] == 2.0
+
+
+def test_flatten_unflatten_inverse(params):
+    flat = flatten_params(params)
+    tree = unflatten_params(flat)
+    assert set(flatten_params(tree)) == set(flat)
