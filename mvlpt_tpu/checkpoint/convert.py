@@ -231,6 +231,112 @@ def convert_hf_clip(model_or_sd, dtype=jnp.float32):
     return params, cfg
 
 
+def _conv_kernel(t) -> np.ndarray:
+    """torch conv weight (O, I, KH, KW) -> HWIO."""
+    return _np(t).transpose(2, 3, 1, 0)
+
+
+def _bn_params(sd, prefix) -> dict:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+        "mean": _np(sd[f"{prefix}.running_mean"]),
+        "var": _np(sd[f"{prefix}.running_var"]),
+    }
+
+
+def rn_config_from_state_dict(sd) -> "RNConfig":
+    from mvlpt_tpu.core.resnet import RNConfig
+
+    counts = tuple(
+        len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
+        for b in (1, 2, 3, 4))
+    width = _np(sd["visual.layer1.0.conv1.weight"]).shape[0]
+    out_dim = _np(sd["visual.attnpool.c_proj.weight"]).shape[0]
+    grid = int(round((_np(sd["visual.attnpool.positional_embedding"]).shape[0] - 1)
+                     ** 0.5))
+    return RNConfig(layers=counts, output_dim=out_dim, width=width,
+                    input_resolution=grid * 32, heads=width * 32 // 64)
+
+
+def convert_openai_rn_state_dict(sd: dict, dtype=jnp.float32):
+    """OpenAI RN* checkpoint -> (params, RNConfig, text CLIPConfig).
+
+    ``params['visual']`` follows core/resnet.py's schema; the text tower
+    converts identically to the ViT case (shared text architecture)."""
+    import jax
+
+    from mvlpt_tpu.core.resnet import RNConfig  # noqa: F401
+
+    rn_cfg = rn_config_from_state_dict(sd)
+
+    def proj(prefix):
+        return {"kernel": _np(sd[f"visual.attnpool.{prefix}.weight"]).T,
+                "bias": _np(sd[f"visual.attnpool.{prefix}.bias"])}
+
+    def bottleneck(prefix):
+        p = {
+            "conv1": {"kernel": _conv_kernel(sd[f"{prefix}.conv1.weight"])},
+            "bn1": _bn_params(sd, f"{prefix}.bn1"),
+            "conv2": {"kernel": _conv_kernel(sd[f"{prefix}.conv2.weight"])},
+            "bn2": _bn_params(sd, f"{prefix}.bn2"),
+            "conv3": {"kernel": _conv_kernel(sd[f"{prefix}.conv3.weight"])},
+            "bn3": _bn_params(sd, f"{prefix}.bn3"),
+        }
+        if f"{prefix}.downsample.0.weight" in sd:
+            p["downsample"] = {
+                "conv": {"kernel": _conv_kernel(sd[f"{prefix}.downsample.0.weight"])},
+                "bn": _bn_params(sd, f"{prefix}.downsample.1"),
+            }
+        return p
+
+    visual = {
+        "stem": {
+            "conv1": {"kernel": _conv_kernel(sd["visual.conv1.weight"])},
+            "bn1": _bn_params(sd, "visual.bn1"),
+            "conv2": {"kernel": _conv_kernel(sd["visual.conv2.weight"])},
+            "bn2": _bn_params(sd, "visual.bn2"),
+            "conv3": {"kernel": _conv_kernel(sd["visual.conv3.weight"])},
+            "bn3": _bn_params(sd, "visual.bn3"),
+        },
+        "attnpool": {
+            "pos_embedding": _np(sd["visual.attnpool.positional_embedding"]),
+            "q_proj": proj("q_proj"), "k_proj": proj("k_proj"),
+            "v_proj": proj("v_proj"), "c_proj": proj("c_proj"),
+        },
+    }
+    for b, n in zip((1, 2, 3, 4), rn_cfg.layers):
+        visual[f"layer{b}"] = [bottleneck(f"visual.layer{b}.{i}") for i in range(n)]
+
+    text_cfg = CLIPConfig(
+        embed_dim=_np(sd["text_projection"]).shape[1],
+        context_length=_np(sd["positional_embedding"]).shape[0],
+        vocab_size=_np(sd["token_embedding.weight"]).shape[0],
+        transformer_width=_np(sd["ln_final.weight"]).shape[0],
+        transformer_heads=_np(sd["ln_final.weight"]).shape[0] // 64,
+        transformer_layers=len({
+            k.split(".")[2] for k in sd
+            if k.startswith("transformer.resblocks.") and k.endswith(".ln_1.weight")
+        }),
+    )
+    params = {
+        "visual": visual,
+        "text": {
+            "token_embedding": _np(sd["token_embedding.weight"]),
+            "pos_embedding": _np(sd["positional_embedding"]),
+            "blocks": _stack_openai_blocks(sd, "transformer",
+                                           text_cfg.transformer_layers),
+            "ln_final": {"scale": _np(sd["ln_final.weight"]),
+                         "bias": _np(sd["ln_final.bias"])},
+            "text_projection": _np(sd["text_projection"]),
+        },
+        "logit_scale": _np(sd["logit_scale"]),
+    }
+    params = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dtype), params)
+    params["logit_scale"] = jnp.asarray(_np(sd["logit_scale"]), jnp.float32)
+    return params, rn_cfg, text_cfg
+
+
 def _download(url: str, root: str | None = None) -> str:
     """SHA256-verified download (same cache layout as clip/clip.py:41-70)."""
     root = root or os.path.expanduser("~/.cache/clip")
@@ -265,4 +371,7 @@ def load_clip(name_or_path: str, dtype=jnp.float32):
         sd = torch.load(path, map_location="cpu")
         if "state_dict" in sd:
             sd = sd["state_dict"]
+    if "visual.proj" not in sd:  # RN* checkpoint
+        params, rn_cfg, _text_cfg = convert_openai_rn_state_dict(sd, dtype=dtype)
+        return params, rn_cfg
     return convert_openai_state_dict(sd, dtype=dtype)

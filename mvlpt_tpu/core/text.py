@@ -29,6 +29,7 @@ def encode_text_embeds(
     n_heads: int,
     remat: bool = False,
     attn_fn: Callable | None = None,
+    unroll: int | bool = True,
 ) -> jax.Array:
     """(N, S, W) prompt embeddings + (N,) EOT indices -> (N, embed_dim)."""
     compute_dtype = prompt_embeds.dtype
@@ -36,7 +37,8 @@ def encode_text_embeds(
     x = prompt_embeds + params["pos_embedding"].astype(compute_dtype)[None, :s]
     mask = layers.causal_mask(s)
     x = layers.transformer(
-        x, params["blocks"], n_heads, mask=mask, remat=remat, attn_fn=attn_fn
+        x, params["blocks"], n_heads, mask=mask, remat=remat,
+        attn_fn=attn_fn, unroll=unroll
     )
     x = layers.layer_norm(x, params["ln_final"])
     x = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]  # (N, W)
@@ -58,10 +60,12 @@ def encode_text(
     n_heads: int,
     remat: bool = False,
     attn_fn: Callable | None = None,
+    unroll: int | bool = True,
 ) -> jax.Array:
     """Plain CLIP text encoding from raw token ids (zero-shot path)."""
     x = embed_tokens(params, token_ids, dtype=params["pos_embedding"].dtype)
     eot_idx = jnp.argmax(token_ids, axis=-1)
     return encode_text_embeds(
-        params, x, eot_idx, n_heads=n_heads, remat=remat, attn_fn=attn_fn
+        params, x, eot_idx, n_heads=n_heads, remat=remat, attn_fn=attn_fn,
+        unroll=unroll,
     )

@@ -43,6 +43,7 @@ def encode_image(
     vpt_deep: jax.Array | None = None,
     remat: bool = False,
     attn_fn: Callable | None = None,
+    unroll: int | bool = True,
     return_tokens: bool = False,
 ) -> jax.Array:
     """Encode NHWC images to (B, output_dim) features.
@@ -87,6 +88,7 @@ def encode_image(
         inject_n_ctx=inject_n_ctx,
         remat=remat,
         attn_fn=attn_fn,
+        unroll=unroll,
     )
 
     if return_tokens:

@@ -182,7 +182,10 @@ class PromptTrainer:
             self.task_ranges = TaskClassRanges(
                 start=jnp.asarray(starts), end=jnp.asarray(ends))
 
-        use_remat = cfg.TRAINER.ACT_CKPT > 1 or cfg.TRAINER.CUT_CONTEXTLEN
+        # ACT_CKPT is the memory lever (reference: checkpoint_sequential
+        # chunks, mvlpt.py:119-121). On TPU remat costs ~25% step time at
+        # CLIP scale, so it is opt-in rather than implied by CUT_CONTEXTLEN.
+        use_remat = cfg.TRAINER.ACT_CKPT > 1
         self.model = MVLPTModel(
             clip_cfg=self.clip_cfg, spec=self.spec, remat=use_remat,
             compute_dtype=compute_dtype)
