@@ -168,7 +168,13 @@ def cast_backbone(params: dict, dtype) -> dict:
     return out
 
 
-def encode_image(params, images, cfg: CLIPConfig, **kw):
+def encode_image(params, images, cfg, **kw):
+    """Visual-tower dispatch: ViT (CLIPConfig) or ModifiedResNet
+    (RNConfig, feature-extraction path only)."""
+    from mvlpt_tpu.core.resnet import RNConfig, encode_image_rn
+
+    if isinstance(cfg, RNConfig):
+        return encode_image_rn(params["visual"], images, cfg)
     return vit_mod.encode_image(
         params["visual"], images,
         patch_size=cfg.vision_patch_size, n_heads=cfg.vision_heads, **kw)

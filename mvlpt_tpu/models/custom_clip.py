@@ -72,7 +72,7 @@ class MVLPTModel:
         )
 
     def encode_text_prompts(self, backbone, prompts, eot_idx):
-        return text_mod.encode_text_embeds(
+        return text_mod.encode_text_embeds_packed(
             backbone["text"],
             prompts.astype(self.compute_dtype),
             eot_idx,

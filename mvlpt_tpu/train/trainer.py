@@ -161,6 +161,13 @@ class PromptTrainer:
 
         print(f"Loading CLIP (backbone: {cfg.MODEL.BACKBONE.NAME})")
         self.backbone, self.clip_cfg = load_clip_backbone(cfg, param_dtype)
+        from mvlpt_tpu.core.resnet import RNConfig
+
+        if isinstance(self.clip_cfg, RNConfig):
+            raise ValueError(
+                "Prompt tuning requires a ViT backbone (the reference "
+                "asserts the same, mvlpt.py:47); RN* checkpoints serve the "
+                "linear-probe / feature-extraction path.")
 
         print("Building custom CLIP")
         self.spec = self.build_spec(self.clip_cfg, classnames)
@@ -202,6 +209,48 @@ class PromptTrainer:
         self.eval_step = make_eval_step(self.model, self.task_ranges)
         self.evaluator = ClassificationEvaluator(self.lab2cname)
 
+        # Multi-chip: shard the frozen backbone over the ("data","model")
+        # mesh and the batches over "data"; gradients all-reduce inside
+        # the jitted step (replaces nn.DataParallel, mvlpt.py:877-880).
+        self.mesh = None
+        if len(jax.devices()) > 1:
+            from mvlpt_tpu.parallel import (
+                backbone_partition_specs, create_mesh, shard_tree)
+
+            import math
+
+            n_model = max(1, cfg.TPU.MESH_MODEL)
+            n_data = cfg.TPU.MESH_DATA
+            if n_data == -1:
+                n_data = len(jax.devices()) // n_model
+            # the data axis must divide the train batch; shrink to fit
+            n_data = math.gcd(n_data, cfg.DATALOADER.TRAIN_X.BATCH_SIZE)
+            if n_data * n_model < 2:
+                self.mesh = None
+                return
+            self.mesh = create_mesh(
+                n_data, n_model,
+                devices=jax.devices()[: n_data * n_model])
+            self.backbone = shard_tree(
+                self.backbone, backbone_partition_specs(self.backbone),
+                self.mesh)
+            print(f"mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
+
+    def _device_batch(self, batch: dict) -> dict:
+        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("image", "label", "task")}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mvlpt_tpu.parallel import DATA_AXIS, batch_specs, shard_tree
+
+            n_data = self.mesh.devices.shape[0]
+            if arrays["image"].shape[0] % n_data == 0:
+                return shard_tree(arrays, batch_specs(arrays), self.mesh)
+            repl = NamedSharding(self.mesh, P())
+            return {k: jax.device_put(v, repl) for k, v in arrays.items()}
+        return arrays
+
     # ------------------------------------------------------------------ train
     def train(self):
         cfg = self.cfg
@@ -221,12 +270,7 @@ class PromptTrainer:
         rng = jax.random.PRNGKey(max(self.cfg.SEED, 0) * 131 + self.epoch)
         for batch_idx, batch in enumerate(self.train_loader_x):
             step_rng = jax.random.fold_in(rng, batch_idx)
-            device_batch = {
-                "image": jnp.asarray(batch["image"]),
-                "label": jnp.asarray(batch["label"]),
-            }
-            if "task" in batch:
-                device_batch["task"] = jnp.asarray(batch["task"])
+            device_batch = self._device_batch(batch)
             self.state, metrics = self.train_step(
                 self.state, self.backbone, self.consts, device_batch, step_rng)
             meter.update({k: v for k, v in metrics.items()})
@@ -268,6 +312,7 @@ class PromptTrainer:
         batch = {"image": images}
         if tasks is not None:
             batch["task"] = tasks
+        batch = self._device_batch(batch)
         return self.eval_step(self.backbone, self.state.prompt_params,
                               self.consts, batch)
 
