@@ -120,3 +120,34 @@ def test_zeroshot_clip(tmp_path):
         "DATASET.NAME", "OxfordPets",
     ])
     assert trainer.text_features.shape[0] == 2
+
+
+def test_resume_from_checkpoint(tmp_path):
+    make_coop_dataset(tmp_path / "data")
+    out = str(tmp_path / "out_resume")
+    flags = [
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+        "--seed", "1", "--shots", "2",
+    ]
+    opts = [*TINY_OPTS, "TRAIN.CHECKPOINT_FREQ", "1"]
+    _run(flags + opts)
+    # resume: checkpoints exist up to epoch 2 == MAX_EPOCH -> no more
+    # training, straight to final test
+    trainer = _run(flags + ["--resume", out] + opts)
+    assert trainer.epoch == 2
+
+
+def test_zeroshot_ensembling(tmp_path):
+    make_coop_dataset(tmp_path / "data")
+    trainer = _run([
+        "--root", str(tmp_path / "data"),
+        "--output-dir", str(tmp_path / "out_zs2"),
+        "--trainer", "ZeroshotCLIP2", "--dataset-coop",
+        "--dataset", "OxfordPets", "--seed", "1", "--no-train", "--eval-only",
+        "DATALOADER.TEST.BATCH_SIZE", "4", "DATALOADER.NUM_WORKERS", "0",
+        "INPUT.SIZE", "(32, 32)", "MODEL.BACKBONE.NAME", "ViT-B/32",
+        "DATASET.NAME", "OxfordPets",
+    ])
+    # 7 select templates + the pets custom template were ensembled
+    assert trainer.text_features.shape == (2, 16)
