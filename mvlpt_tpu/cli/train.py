@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dataset-coop", action="store_true")
     parser.add_argument("--cut-contextlen", action="store_true")
     parser.add_argument("--act-ckpt", type=int, default=1)
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="fail fast on NaNs (debug-mode equivalent of "
+                             "the dormant TRAIN.DETECT_ANOMALY flag)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
 
@@ -112,6 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(args):
     from mvlpt_tpu.train.trainer import build_trainer
     import mvlpt_tpu.models  # noqa: F401  (registers zero-shot trainers)
+    import mvlpt_tpu.train.finetune  # noqa: F401  (registers FinetuneCLIP)
 
     cfg = setup_cfg(args)
     if cfg.SEED >= 0:
@@ -119,6 +123,10 @@ def main(args):
         set_random_seed(cfg.SEED)
     setup_logger(cfg.OUTPUT_DIR)
     print(cfg.dump())
+    if args.debug_nans:
+        from mvlpt_tpu.utils.profiler import enable_nan_debugging
+
+        enable_nan_debugging()
 
     import jax
 

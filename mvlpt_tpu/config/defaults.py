@@ -36,6 +36,7 @@ def get_cfg_default() -> CN:
 
     # ------------------------------------------------------------- dataloader
     cfg.DATALOADER = CN()
+    cfg.DATALOADER.BACKEND = "python"  # "python" (PIL threads) | "tf" (tf.data)
     cfg.DATALOADER.NUM_WORKERS = 4
     cfg.DATALOADER.K_TRANSFORMS = 1
     cfg.DATALOADER.RETURN_IMG0 = False
@@ -106,6 +107,12 @@ def get_cfg_default() -> CN:
     cfg.OPTIM.WARMUP_CONS_LR = 1e-5
     cfg.OPTIM.WARMUP_MIN_LR = 1e-5
     cfg.OPTIM.WARMUP_RECOUNT = True
+    # Dassl staged-lr keys (used by the full-finetune trainer: trunk lr =
+    # LR * BASE_LR_MULT, head lr = LR — the two-LR mode of
+    # vision_benchmark/optim/build.py:88-170)
+    cfg.OPTIM.STAGED_LR = False
+    cfg.OPTIM.NEW_LAYERS = ()
+    cfg.OPTIM.BASE_LR_MULT = 0.1
 
     # ------------------------------------------------------------------ train
     cfg.TRAIN = CN()

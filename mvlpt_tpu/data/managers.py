@@ -64,18 +64,29 @@ class CoopMultitaskDataManager:
         self._classnames = classnames
         self._lab2cname = lab2cname
 
-        tfm_train = T.build_transform(cfg, is_train=True)
-        tfm_test = T.build_transform(cfg, is_train=False)
         multitask = cfg.DATASET.MULTITASK
-        self.train_loader_x = build_data_loader(
-            cfg, train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE, tfm_train,
-            is_train=True, multitask=multitask)
-        self.val_loader = build_data_loader(
-            cfg, val, cfg.DATALOADER.TEST.BATCH_SIZE, tfm_test,
-            is_train=False, multitask=multitask) if val else None
-        self.test_loader = build_data_loader(
-            cfg, test, cfg.DATALOADER.TEST.BATCH_SIZE, tfm_test,
-            is_train=False, multitask=multitask)
+        if cfg.DATALOADER.BACKEND == "tf":
+            from mvlpt_tpu.data.tfdata import TFDataLoader
+
+            def mk(items, bs, is_train):
+                return TFDataLoader(
+                    items, batch_size=bs, shuffle=is_train,
+                    size=cfg.INPUT.SIZE[0], mean=list(cfg.INPUT.PIXEL_MEAN),
+                    std=list(cfg.INPUT.PIXEL_STD), seed=max(cfg.SEED, 0),
+                    center_crop=True, drop_last=is_train, multitask=multitask,
+                    augment=is_train and not cfg.INPUT.NO_TRANSFORM)
+        else:
+            tfm_train = T.build_transform(cfg, is_train=True)
+            tfm_test = T.build_transform(cfg, is_train=False)
+
+            def mk(items, bs, is_train):
+                return build_data_loader(
+                    cfg, items, bs, tfm_train if is_train else tfm_test,
+                    is_train=is_train, multitask=multitask)
+
+        self.train_loader_x = mk(train_x, cfg.DATALOADER.TRAIN_X.BATCH_SIZE, True)
+        self.val_loader = mk(val, cfg.DATALOADER.TEST.BATCH_SIZE, False) if val else None
+        self.test_loader = mk(test, cfg.DATALOADER.TEST.BATCH_SIZE, False)
         self.train_loader_u = None
 
     # Dassl-compatible property surface (mvlpt.py:722-735)
@@ -123,7 +134,23 @@ def _elevater_transform(cfg):
 
 
 def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,
-                 multitask):
+                 multitask, multilabel_dim: int = 0):
+    if cfg.DATALOADER.BACKEND == "tf":
+        import numpy as _np
+
+        from mvlpt_tpu.data.tfdata import TFDataLoader
+
+        vectors = None
+        if multilabel_dim:
+            vectors = _np.stack([target_fn(it) for it in items]) if items else \
+                _np.zeros((0, multilabel_dim), _np.float32)
+        return TFDataLoader(
+            items, batch_size=batch_size, shuffle=shuffle,
+            size=cfg.INPUT.SIZE[0], mean=list(cfg.INPUT.PIXEL_MEAN),
+            std=list(cfg.INPUT.PIXEL_STD), seed=max(cfg.SEED, 0),
+            center_crop=bool(cfg.DATASET.CENTER_CROP), drop_last=shuffle,
+            multitask=multitask, augment=False,  # ELEVATER: no train aug
+            label_vectors=vectors)
     ds = _ElevaterDataset(items, transform, target_fn)
     return DataLoader(
         ds, batch_size=batch_size, shuffle=shuffle,
@@ -163,12 +190,13 @@ class ElevaterDataManager:
         tfm = _elevater_transform(cfg)
         bs_train = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
         bs_test = cfg.DATALOADER.TEST.BATCH_SIZE
+        mdim = man.num_classes if man.is_multilabel else 0
         self.train_loader_x = _make_loader(
-            cfg, train_items, tfm, target_fn, bs_train, True, False)
+            cfg, train_items, tfm, target_fn, bs_train, True, False, mdim)
         self.val_loader = _make_loader(
-            cfg, val_items, tfm, target_fn, bs_test, False, False) if val_items else None
+            cfg, val_items, tfm, target_fn, bs_test, False, False, mdim) if val_items else None
         self.test_loader = _make_loader(
-            cfg, man.test, tfm, target_fn, bs_test, False, False)
+            cfg, man.test, tfm, target_fn, bs_test, False, False, mdim)
         self.train_loader_u = None
 
     @property
@@ -236,11 +264,11 @@ class ElevaterMultitaskDataManager:
         bs_train = cfg.DATALOADER.TRAIN_X.BATCH_SIZE
         bs_test = cfg.DATALOADER.TEST.BATCH_SIZE
         self.train_loader_x = _make_loader(
-            cfg, train_items, tfm, target_fn, bs_train, True, True)
+            cfg, train_items, tfm, target_fn, bs_train, True, True, n_global)
         self.val_loader = _make_loader(
-            cfg, val_items, tfm, target_fn, bs_test, False, True) if val_items else None
+            cfg, val_items, tfm, target_fn, bs_test, False, True, n_global) if val_items else None
         self.test_loader = _make_loader(
-            cfg, test_items, tfm, target_fn, bs_test, False, True)
+            cfg, test_items, tfm, target_fn, bs_test, False, True, n_global)
         self.train_loader_u = None
 
     @property

@@ -193,8 +193,11 @@ class PromptTrainer:
         # chunks, mvlpt.py:119-121). On TPU remat costs ~25% step time at
         # CLIP scale, so it is opt-in rather than implied by CUT_CONTEXTLEN.
         use_remat = cfg.TRAINER.ACT_CKPT > 1
+        from mvlpt_tpu.ops import select_attn_fn
+
         self.model = MVLPTModel(
             clip_cfg=self.clip_cfg, spec=self.spec, remat=use_remat,
+            attn_fn=select_attn_fn(cfg.TPU.USE_PALLAS),
             compute_dtype=compute_dtype)
 
         n_prompt = clip_core.count_params(self.prompt_params)

@@ -151,3 +151,21 @@ def test_zeroshot_ensembling(tmp_path):
     ])
     # 7 select templates + the pets custom template were ensembled
     assert trainer.text_features.shape == (2, 16)
+
+
+def test_finetune_clip_trainer(tmp_path):
+    make_elevater_task(tmp_path / "data", "cifar-10", 10, n_train=16, n_test=8)
+    trainer = _run([
+        "--root", str(tmp_path / "data"),
+        "--output-dir", str(tmp_path / "out_ft"),
+        "--trainer", "FinetuneCLIP", "--dataset", "cifar-10",
+        "--seed", "1", "--shots", "2",
+        "OPTIM.MAX_EPOCH", "2", "OPTIM.LR", "0.01", "OPTIM.WARMUP_EPOCH", "0",
+        "OPTIM.STAGED_LR", "True", "OPTIM.BASE_LR_MULT", "0.1",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "4", "DATALOADER.TEST.BATCH_SIZE", "4",
+        "DATALOADER.NUM_WORKERS", "0", "INPUT.SIZE", "(32, 32)",
+        "MODEL.BACKBONE.NAME", "ViT-B/32", "TEST.FINAL_MODEL", "best_val",
+    ])
+    assert trainer.state.prompt_params["head"]["kernel"].shape == (16, 10)
+    assert os.path.exists(os.path.join(
+        str(tmp_path / "out_ft"), "prompt_learner", "model.pth.tar-2"))
