@@ -67,16 +67,25 @@ def load_clip_backbone(cfg, dtype):
 
 
 class MetricMeter:
-    def __init__(self):
+    """Accumulates step metrics WITHOUT forcing a device sync: values
+    stay as (possibly device-resident) scalars until summary() — so the
+    host input pipeline and the device stay pipelined between prints."""
+
+    def __init__(self, window: int = 20):
         self.meters = {}
+        self.window = window
 
     def update(self, metrics: dict):
         for k, v in metrics.items():
-            self.meters.setdefault(k, []).append(float(v))
+            buf = self.meters.setdefault(k, [])
+            buf.append(v)
+            if len(buf) > self.window:
+                del buf[: -self.window]
 
     def summary(self) -> str:
         return " ".join(
-            f"{k} {np.mean(v[-20:]):.4f}" for k, v in self.meters.items())
+            f"{k} {np.mean([float(x) for x in v]):.4f}"
+            for k, v in self.meters.items())
 
 
 class ScalarWriter:
