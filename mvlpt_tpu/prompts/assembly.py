@@ -84,7 +84,13 @@ def vpt_prepare(
 ):
     """Apply the optional VPT projection + dropout to shallow and deep
     prompts (mvlpt.py:424, 77-79). Returns tensors ready for the vision
-    tower (width = vision_width)."""
+    tower (width = vision_width).
+
+    Note: the reference draws an independent dropout mask per batch
+    element (dropout after expand); here one mask per step is shared
+    across the batch (dropout before broadcast), which keeps the prompt
+    tensors batch-free on device. Distributionally equivalent in
+    expectation; only observable when VPT.DROPOUT > 0 (default 0)."""
     if not spec.has_vpt:
         return None, None
     vpt = prompt_params["vpt"]

@@ -8,10 +8,18 @@ import numpy as np
 from PIL import Image
 
 
-def _write_image(path, seed=0, size=(32, 32)):
+def _write_image(path, seed=0, size=(32, 32), class_signal=None):
+    """class_signal: int -> images carry a class-dependent color bias so
+    synthetic datasets are actually learnable (for overfit/soak runs)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     rng = np.random.RandomState(seed)
-    Image.fromarray(rng.randint(0, 255, (*size, 3), np.uint8)).save(path)
+    arr = rng.randint(0, 100, (*size, 3)).astype(np.int64)
+    if class_signal is not None:
+        color = np.array([(class_signal * 97) % 156,
+                          (class_signal * 57) % 156,
+                          (class_signal * 37) % 156])
+        arr = arr + color[None, None, :]
+    Image.fromarray(arr.astype(np.uint8)).save(path)
 
 
 def make_coop_dataset(root, dataset_dir="oxford_pets", classes=("abyssinian", "beagle"),
@@ -26,7 +34,8 @@ def make_coop_dataset(root, dataset_dir="oxford_pets", classes=("abyssinian", "b
         for part, count in (("train", n_train), ("val", n_val), ("test", n_test)):
             for i in range(count):
                 rel = f"{cname}_{part}_{i}.jpg"
-                _write_image(os.path.join(img_dir, rel), seed=seed)
+                _write_image(os.path.join(img_dir, rel), seed=seed,
+                             class_signal=label)
                 seed += 1
                 split[part].append([rel, label, cname])
     os.makedirs(ddir, exist_ok=True)
@@ -47,13 +56,14 @@ def make_elevater_task(root, task, n_classes, n_train=8, n_test=4,
     for part, count in (("train", n_train), ("test", n_test)):
         for i in range(count):
             rel = f"{part}_{i}.jpg"
-            _write_image(os.path.join(tdir, rel), seed=seed)
-            seed += 1
             if multilabel:
                 k = rng.randint(1, max(2, n_classes // 2 + 1))
                 labels = sorted(rng.choice(n_classes, size=k, replace=False).tolist())
             else:
                 labels = [i % n_classes]
+            _write_image(os.path.join(tdir, rel), seed=seed,
+                         class_signal=labels[0])
+            seed += 1
             manifest["splits"][part].append([rel, labels])
     with open(os.path.join(tdir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
