@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 
 
 def from_image_folder(src: str, splits=("train", "test")):

@@ -180,9 +180,6 @@ def get_cfg_default() -> CN:
     cfg.TPU.PARAM_DTYPE = "bfloat16"   # frozen backbone storage dtype
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.PROMPT_DTYPE = "float32"   # trainable prompt master dtype
-    cfg.TPU.CLASS_CHUNK = 0     # >0: lax.map text tower over class chunks
-    cfg.TPU.PREFETCH = 2        # device prefetch depth for the input pipeline
-
     return cfg
 
 

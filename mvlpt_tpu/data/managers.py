@@ -23,9 +23,8 @@ import numpy as np
 
 from mvlpt_tpu.data import transforms as T
 from mvlpt_tpu.data.coop import datasets as coop_datasets  # registers loaders
-from mvlpt_tpu.data.datum import DatasetBase
 from mvlpt_tpu.data.elevater import manifest as ev
-from mvlpt_tpu.data.loader import DataLoader, _TransformedDataset, build_data_loader
+from mvlpt_tpu.data.loader import DataLoader, build_data_loader
 from mvlpt_tpu.evaluation.metrics import get_metric
 from mvlpt_tpu.utils.registry import DATASET_REGISTRY
 

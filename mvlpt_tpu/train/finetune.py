@@ -22,7 +22,7 @@ import optax
 
 from mvlpt_tpu.core import vit as vit_mod
 from mvlpt_tpu.core.clip import CLIPConfig
-from mvlpt_tpu.train.optim import build_lr_schedule, build_optimizer
+from mvlpt_tpu.train.optim import build_optimizer
 from mvlpt_tpu.train.trainer import PromptTrainer, load_clip_backbone
 from mvlpt_tpu.train.train_step import (
     TrainState, accuracy, init_train_state, soft_cross_entropy)

@@ -20,7 +20,6 @@ overrides in MVLPT(TrainerX) (mvlpt.py:827-1125):
 
 from __future__ import annotations
 
-import copy
 import datetime
 import json
 import os
@@ -227,7 +226,7 @@ class PromptTrainer:
         self.mesh = None
         if len(jax.devices()) > 1:
             from mvlpt_tpu.parallel import (
-                backbone_partition_specs, create_mesh, shard_tree)
+                backbone_partition_specs, create_mesh, shard_tree)  # noqa: E501
 
             import math
 
@@ -254,7 +253,7 @@ class PromptTrainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from mvlpt_tpu.parallel import DATA_AXIS, batch_specs, shard_tree
+            from mvlpt_tpu.parallel import batch_specs, shard_tree
 
             n_data = self.mesh.devices.shape[0]
             if arrays["image"].shape[0] % n_data == 0:
