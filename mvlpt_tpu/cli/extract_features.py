@@ -38,8 +38,15 @@ def cli():
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--shots", type=int, default=-1)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--knowledge", nargs="*", default=[],
+                   choices=["wiki", "wordnet", "hierarchy", "gpt3"],
+                   help="built-in knowledge sources (data/elevater/"
+                        "knowledge.json) appended to prompts")
+    p.add_argument("--knowledge-aggregation", default="WIKI_AND_GPT3",
+                   choices=["WIKI_AND_GPT3", "WIKI_THEN_GPT3"])
+    p.add_argument("--n-gpt3", type=int, default=5)
     p.add_argument("--knowledge-tsv", nargs="*", default=[],
-                   help="classname<TAB>description files appended to prompts")
+                   help="extra classname<TAB>description files")
     args = p.parse_args()
 
     cfg = get_cfg_default()
@@ -87,7 +94,17 @@ def cli():
 
     classnames = [first_classname(c) for c in class_map(args.dataset)]
     templates = template_map(args.dataset)
-    text = encode_class_text_features(backbone, clip_cfg, classnames, templates)
+    if args.knowledge:
+        from mvlpt_tpu.data.elevater.knowledge import (
+            encode_class_text_features_with_knowledge)
+
+        text = encode_class_text_features_with_knowledge(
+            backbone, clip_cfg, args.dataset, classnames, templates,
+            sources=tuple(args.knowledge), n_gpt3=args.n_gpt3,
+            aggregation=args.knowledge_aggregation)
+    else:
+        text = encode_class_text_features(backbone, clip_cfg, classnames,
+                                          templates)
     if knowledge:
         extra = []
         for c in classnames:

@@ -1,0 +1,123 @@
+"""Smaller-surface tests: loader reshuffling, zero-shot template
+resolution for ELEVATER tasks, profiler timer, manifest builder."""
+
+import numpy as np
+
+from mvlpt_tpu.data.datum import Datum
+from mvlpt_tpu.data.loader import DataLoader, _TransformedDataset
+
+
+class _IdDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return np.full((2, 2, 3), i, np.float32), i, 0
+
+
+def test_train_loader_reshuffles_each_epoch():
+    dl = DataLoader(_IdDataset(16), batch_size=4, shuffle=True,
+                    num_workers=0, seed=3, drop_last=True)
+    e1 = [tuple(b["label"]) for b in dl]
+    e2 = [tuple(b["label"]) for b in dl]
+    assert e1 != e2  # reshuffled
+    assert sorted(sum(e1, ())) == list(range(16))
+
+
+def test_eval_loader_pads_tail():
+    dl = DataLoader(_IdDataset(10), batch_size=4, shuffle=False,
+                    num_workers=0, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[-1]["n_valid"] == 2
+    assert batches[-1]["image"].shape == (4, 2, 2, 3)
+
+
+def test_zeroshot_template_resolution_elevater():
+    from mvlpt_tpu.models.zsclip import ZeroshotCLIP
+
+    class Fake(ZeroshotCLIP):
+        def __init__(self, name):
+            from mvlpt_tpu.config import get_cfg_default
+
+            self.cfg = get_cfg_default()
+            self.cfg.DATASET.NAME = ""
+            self.cfg.DATASET.DATASET = name
+
+    assert "satellite" in Fake("eurosat_clip").templates(["x"])[0]
+    assert Fake("OxfordPets") and True
+    t = ZeroshotCLIP.templates(Fake("cifar-10"), ["x"])
+    assert "{}" in t[0]
+
+
+def test_step_timer():
+    from mvlpt_tpu.utils.profiler import StepTimer
+
+    t = StepTimer(warmup=1)
+    for _ in range(4):
+        t.start()
+        t.stop(n_items=8)
+    assert t.throughput() > 0
+
+
+def test_build_manifest_image_folder(tmp_path):
+    import os
+
+    from PIL import Image
+
+    from mvlpt_tpu.cli.build_manifest import from_image_folder
+
+    for split in ("train", "test"):
+        for cls in ("a", "b"):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    rows, n = from_image_folder(str(tmp_path))
+    assert n == 2
+    assert len(rows["train"]) == 2 and len(rows["test"]) == 2
+    assert rows["train"][0][1] == [0]
+
+
+def test_knowledge_texts():
+    from mvlpt_tpu.data.elevater.knowledge import knowledge_texts
+
+    # wiki definition present for cifar-10 classes
+    texts = knowledge_texts("cifar-10", "cat", use_wiki=True)
+    assert len(texts) == 1 and texts[0].startswith("; cat ,")
+    # gpt3 appended in WIKI_AND_GPT3 mode
+    both = knowledge_texts("cifar-10", "cat", use_wiki=True, use_gpt3=True,
+                           n_gpt3=2)
+    assert len(both) == 3
+    # WIKI_THEN_GPT3: gpt3 only when no wiki hit
+    fb = knowledge_texts("cifar-10", "cat", use_wiki=True, use_gpt3=True,
+                         n_gpt3=2, aggregation="WIKI_THEN_GPT3")
+    assert len(fb) == 1
+    # unknown class -> no knowledge
+    assert knowledge_texts("cifar-10", "not-a-class", use_wiki=True) == []
+    # hierarchy path capped at 3 hops
+    h = knowledge_texts("cifar-10", "cat", use_hierarchy=True)
+    assert "cat feline carnivore" in h[0]
+
+
+def test_knowledge_augmented_text_features():
+    import jax
+    import jax.numpy as jnp
+
+    from mvlpt_tpu.core.clip import CLIPConfig, init_clip_params
+    from mvlpt_tpu.data.elevater.knowledge import (
+        encode_class_text_features_with_knowledge)
+
+    cfg = CLIPConfig(
+        embed_dim=16, image_resolution=32, vision_layers=2, vision_width=32,
+        vision_patch_size=8, transformer_width=32, transformer_heads=2,
+        transformer_layers=2, vision_heads_override=2)
+    params = init_clip_params(jax.random.PRNGKey(0), cfg)
+    feats = encode_class_text_features_with_knowledge(
+        params, cfg, "cifar-10", ["cat", "dog"], ["a photo of a {}."],
+        sources=("wiki", "gpt3"), n_gpt3=1)
+    assert feats.shape == (2, 16)
+    norms = jnp.linalg.norm(feats, axis=-1)
+    assert jnp.allclose(norms, 1.0, atol=1e-5)
