@@ -117,6 +117,13 @@ def main(args):
     import mvlpt_tpu.models  # noqa: F401  (registers zero-shot trainers)
     import mvlpt_tpu.train.finetune  # noqa: F401  (registers FinetuneCLIP)
 
+    from mvlpt_tpu.parallel.multihost import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        import jax
+
+        print(f"multi-host: process {jax.process_index()}/{jax.process_count()}")
+
     cfg = setup_cfg(args)
     if cfg.SEED >= 0:
         print(f"Setting fixed seed: {cfg.SEED}")

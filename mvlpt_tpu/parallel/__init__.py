@@ -1,3 +1,7 @@
+from mvlpt_tpu.parallel.multihost import (
+    maybe_initialize_distributed,
+    local_batch_slice,
+)
 from mvlpt_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
