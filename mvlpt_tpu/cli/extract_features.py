@@ -18,6 +18,18 @@ import os
 import numpy as np
 
 
+
+
+def _eval_mode(loader):
+    """Deterministic full pass for feature dumps: no shuffle, keep tails."""
+    if hasattr(loader, "set_eval_mode"):
+        loader.set_eval_mode()
+    else:
+        loader.shuffle = False
+        loader.drop_last = False
+    return loader
+
+
 def cli():
     import jax
     import jax.numpy as jnp
@@ -71,7 +83,7 @@ def cli():
                           ("test", dm.test_loader)):
         if loader is None:
             continue
-        loader.shuffle = False
+        _eval_mode(loader)
         feats, labels = [], []
         for batch in loader:
             n = batch.get("n_valid", len(batch["image"]))

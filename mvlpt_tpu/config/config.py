@@ -74,7 +74,7 @@ class CfgNode(dict):
         with open(path) as f:
             loaded = yaml.safe_load(f)
         if loaded:
-            _merge_into(CfgNode(loaded), self)
+            _merge_into(CfgNode(loaded), self, strict=True)
 
     def merge_from_list(self, opts):
         if not opts:
@@ -102,10 +102,15 @@ def _to_plain(node):
     return node
 
 
-def _merge_into(src: CfgNode, dst: CfgNode):
+def _merge_into(src: CfgNode, dst: CfgNode, strict: bool = False,
+                prefix: str = ""):
     for k, v in src.items():
+        if strict and k not in dst:
+            # yacs raises on non-existent keys so yaml typos fail loudly
+            raise KeyError(f"Non-existent config key: {prefix}{k}")
         if isinstance(v, (CfgNode, dict)) and isinstance(dst.get(k), CfgNode):
-            _merge_into(CfgNode(v) if not isinstance(v, CfgNode) else v, dst[k])
+            _merge_into(CfgNode(v) if not isinstance(v, CfgNode) else v,
+                        dst[k], strict=strict, prefix=f"{prefix}{k}.")
         else:
             dst[k] = _coerce(v, dst.get(k))
 

@@ -420,8 +420,9 @@ class ImageNet(DatasetBase):
             fewshot_dir = os.path.join(self.dataset_dir, "split_fewshot")
 
             def build():
+                # cache stores only the train subset (imagenet.py:58-63)
                 return (DatasetBase.generate_fewshot_dataset(
-                    train, num_shots, seed=cfg.SEED), test)
+                    train, num_shots, seed=cfg.SEED), [])
 
             train, _ = DatasetBase.load_fewshot_cached(
                 fewshot_dir, num_shots, cfg.SEED, build)

@@ -126,16 +126,44 @@ class DatasetBase:
         return out
 
     @staticmethod
+    def _coerce_items(items):
+        """Accept Datum-like objects from foreign caches (e.g. Dassl's
+        Datum with property accessors) by copying the public fields."""
+        out = []
+        for d in items:
+            if isinstance(d, Datum):
+                out.append(d)
+            else:
+                out.append(Datum(
+                    impath=d.impath, label=int(d.label),
+                    classname=getattr(d, "classname", "") or "",
+                    domain=int(getattr(d, "domain", 0) or 0)))
+        return out
+
+    @staticmethod
     def load_fewshot_cached(preprocessed_dir: str, num_shots: int, seed: int,
                             build_fn):
         """Per-(shots, seed) pickle cache, same layout as
-        oxford_pets.py:33-49 (split_fewshot/shot_{n}-seed_{s}.pkl)."""
+        oxford_pets.py:33-49 (split_fewshot/shot_{n}-seed_{s}.pkl).
+
+        Caches written by the reference contain Dassl Datum objects and
+        (for ImageNet) may lack the 'val' key; those load when Dassl is
+        importable (fields are copied) and otherwise fall back to a
+        fresh (seeded, deterministic) rebuild without overwriting the
+        foreign cache file."""
         os.makedirs(preprocessed_dir, exist_ok=True)
         path = os.path.join(preprocessed_dir, f"shot_{num_shots}-seed_{seed}.pkl")
         if os.path.exists(path):
-            with open(path, "rb") as f:
-                data = pickle.load(f)
-            return data["train"], data["val"]
+            try:
+                with open(path, "rb") as f:
+                    data = pickle.load(f)
+                train = DatasetBase._coerce_items(data["train"])
+                val = DatasetBase._coerce_items(data.get("val", []))
+                return train, val
+            except Exception as e:  # foreign pickle (e.g. needs dassl)
+                print(f"Could not load few-shot cache {path} ({e!r}); "
+                      "rebuilding deterministically")
+                return build_fn()
         train, val = build_fn()
         with open(path, "wb") as f:
             pickle.dump({"train": train, "val": val}, f, protocol=pickle.HIGHEST_PROTOCOL)

@@ -39,9 +39,14 @@ class _TransformedDataset:
     def __len__(self):
         return len(self.items)
 
-    def __getitem__(self, idx: int):
+    def __getitem__(self, idx: int, rng: random.Random | None = None):
         d = self.items[idx]
-        img = self.transform(_load_image(d.impath))
+        img = _load_image(d.impath)
+        try:
+            img = self.transform(img, rng=rng) if rng is not None else \
+                self.transform(img)
+        except TypeError:  # transform without rng support (eval)
+            img = self.transform(img)
         label = d.label if self.label_transform is None else self.label_transform(d.label)
         return img, label, d.domain
 
@@ -82,11 +87,26 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         idxs = self._order()
+        epoch_seed = (self.seed * 1000003 + self.epoch) if self.shuffle else None
         self.epoch += 1
         bs = self.batch_size
 
+        import inspect
+
+        supports_rng = False
+        try:
+            supports_rng = "rng" in inspect.signature(
+                self.dataset.__getitem__).parameters
+        except (TypeError, ValueError):
+            pass
+
         def fetch(i):
-            return self.dataset[i]
+            if epoch_seed is None or not supports_rng:
+                return self.dataset[i]
+            # deterministic per-(seed, epoch, index) augmentation draws,
+            # independent of thread interleaving
+            return self.dataset.__getitem__(
+                i, rng=random.Random(epoch_seed * 1000003 + i))
 
         pool = cf.ThreadPoolExecutor(self.num_workers) if self.num_workers else None
         try:

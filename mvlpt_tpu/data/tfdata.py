@@ -117,26 +117,48 @@ class TFDataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.multitask = multitask
-        augment = shuffle if augment is None else augment
-        paths = [d.impath for d in items]
+        self.augment = shuffle if augment is None else augment
+        self.drop_last = drop_last
+        self._seed = seed
+        self._epoch = 0
+        self._size, self._mean, self._std = size, mean, std
+        self._center_crop = center_crop
+        self._paths = [d.impath for d in items]
         if label_vectors is not None:
-            labels = label_vectors  # (N, C) k-hot targets
+            self._labels = label_vectors  # (N, C) k-hot targets
         else:
-            labels = np.asarray([d.label for d in items])
-        domains = [getattr(d, "domain", getattr(d, "task_id", 0)) for d in items]
-        self._ds = _build_dataset(
-            paths, labels, domains, train=augment, batch_size=batch_size,
-            size=size, mean=mean, std=std, seed=seed, center_crop=center_crop,
-            drop_last=drop_last or shuffle, shuffle=shuffle)
+            self._labels = np.asarray([d.label for d in items])
+        self._domains = [getattr(d, "domain", getattr(d, "task_id", 0))
+                         for d in items]
+
+    def set_eval_mode(self):
+        """Deterministic full pass: no shuffle/augment, keep tail batches
+        (feature extraction over a loader built for training)."""
+        self.shuffle = False
+        self.augment = False
+        self.drop_last = False
+
+    def _build(self):
+        # rebuilt per epoch so the stateless augmentation seeds get an
+        # epoch component (fresh crops/flips each epoch, deterministic
+        # per (seed, epoch, index))
+        epoch_seed = self._seed * 1000003 + self._epoch
+        return _build_dataset(
+            self._paths, self._labels, self._domains, train=self.augment,
+            batch_size=self.batch_size, size=self._size, mean=self._mean,
+            std=self._std, seed=epoch_seed, center_crop=self._center_crop,
+            drop_last=self.drop_last or self.shuffle, shuffle=self.shuffle)
 
     def __len__(self):
         n = len(self.items)
-        if self.shuffle:
+        if self.shuffle or self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
-        for rec in self._ds.as_numpy_iterator():
+        ds = self._build()
+        self._epoch += 1
+        for rec in ds.as_numpy_iterator():
             n_valid = len(rec["image"])
             batch = {"image": rec["image"].astype(np.float32),
                      "label": rec["label"], "n_valid": n_valid}

@@ -81,9 +81,10 @@ class EvalTransform:
             img = resize_shorter(img, self.size, self.interpolation)
             img = center_crop(img, self.size)
         else:
-            # ELEVATER default: warp to (H, W) (feature.py:548-553)
-            img = img.resize(self.full_size[::-1] if False else self.full_size,
-                             _INTERP[self.interpolation])
+            # ELEVATER default: warp to (H, W) (feature.py:548-553);
+            # PIL.resize takes (width, height)
+            h, w = self.full_size
+            img = img.resize((w, h), _INTERP[self.interpolation])
         return _to_array(img, self.mean, self.std)
 
 
@@ -101,17 +102,17 @@ class TrainTransform:
         self.scale, self.ratio = scale, ratio
         self.rng = rng or random.Random()
 
-    def _sample_crop(self, w: int, h: int):
+    def _sample_crop(self, w: int, h: int, rng: random.Random):
         area = w * h
         log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
         for _ in range(10):
-            target = area * self.rng.uniform(*self.scale)
-            ar = math.exp(self.rng.uniform(*log_ratio))
+            target = area * rng.uniform(*self.scale)
+            ar = math.exp(rng.uniform(*log_ratio))
             cw = int(round(math.sqrt(target * ar)))
             ch = int(round(math.sqrt(target / ar)))
             if 0 < cw <= w and 0 < ch <= h:
-                x = self.rng.randint(0, w - cw)
-                y = self.rng.randint(0, h - ch)
+                x = rng.randint(0, w - cw)
+                y = rng.randint(0, h - ch)
                 return x, y, cw, ch
         # fallback: center crop at clamped aspect (torchvision semantics)
         in_ratio = w / h
@@ -123,12 +124,17 @@ class TrainTransform:
             cw, ch = w, h
         return (w - cw) // 2, (h - ch) // 2, cw, ch
 
-    def __call__(self, img: Image.Image) -> np.ndarray:
+    def __call__(self, img: Image.Image, rng: random.Random | None = None
+                 ) -> np.ndarray:
+        """``rng`` (when given) makes the draw deterministic per call —
+        the DataLoader passes a per-(seed, epoch, index) Random so
+        augmentation is reproducible and thread-safe."""
+        r = rng if rng is not None else self.rng
         img = img.convert("RGB")
-        x, y, cw, ch = self._sample_crop(*img.size)
+        x, y, cw, ch = self._sample_crop(*img.size, r)
         img = img.resize((self.size, self.size), _INTERP[self.interpolation],
                          box=(x, y, x + cw, y + ch))
-        if self.rng.random() < 0.5:
+        if r.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         return _to_array(img, self.mean, self.std)
 

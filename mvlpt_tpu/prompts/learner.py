@@ -137,7 +137,8 @@ def spec_from_cfg(cfg, n_cls: int, clip_cfg: CLIPConfig, classnames=None) -> Pro
     context_length = clip_cfg.context_length
     if cfg.TRAINER.CUT_CONTEXTLEN and classnames is not None:
         context_length = compute_cut_context_length(
-            classnames, max(coop_n_ctx, cocoop_n_ctx), clip_cfg.context_length
+            classnames, max(coop_n_ctx, cocoop_n_ctx), clip_cfg.context_length,
+            ctx_init=t.COCOOP.CTX_INIT if cocoop_n_ctx else t.COOP.CTX_INIT,
         )
     return PromptSpec(
         n_cls=n_cls,
@@ -176,12 +177,17 @@ def format_prompts(classnames, spec: PromptSpec, ctx_init: str = "") -> list[str
     return [f"{prefix} {name.replace('_', ' ')}." for name in classnames]
 
 
-def compute_cut_context_length(classnames, n_ctx: int, max_cap: int = 77) -> int:
+def compute_cut_context_length(classnames, n_ctx: int, max_cap: int = 77,
+                               ctx_init: str = "") -> int:
     """CUT_CONTEXTLEN: the realized max prompt token length, capped at the
-    model context length (mvlpt.py:297-303). Static at trace time on TPU."""
+    model context length (mvlpt.py:297-303). Static at trace time on TPU.
+
+    With CTX_INIT, the measured prompts use the actual init words (which
+    may each tokenize to several BPE tokens), matching the reference's
+    measurement of the real prompt strings."""
     tok = get_tokenizer()
     spec_tmp = PromptSpec(n_cls=len(classnames), coop_n_ctx=n_ctx)
-    prompts = format_prompts(classnames, spec_tmp)
+    prompts = format_prompts(classnames, spec_tmp, ctx_init)
     longest = max(len(tok.encode(p)) + 2 for p in prompts)  # +SOT +EOT
     return min(max_cap, longest)
 

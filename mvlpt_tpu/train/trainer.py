@@ -416,8 +416,15 @@ class PromptTrainer:
     def save_checkpoint(self, best: bool = False, val_result=None):
         path = prompt_io.checkpoint_path(
             self.output_dir, epoch=None if best else self.epoch + 1)
+        # opt_state/step ride along for exact resume (reference-written
+        # checkpoints lack them and resume with fresh optimizer state)
+        extra = {
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+        }
         prompt_io.save_prompt_checkpoint(
-            path, self.state.prompt_params, self.epoch + 1, val_result)
+            path, self.state.prompt_params, self.epoch + 1, val_result,
+            extra=extra)
         print(f"Checkpoint saved to {path}")
 
     def load_model(self, directory, epoch=None):
@@ -453,7 +460,31 @@ class PromptTrainer:
             self.state.prompt_params, payload["state_dict"])
         self.state = init_train_state(params, self.tx)
         self.epoch = payload["epoch"]
-        print(f"Resumed from epoch {self.epoch}")
+        # restore optimizer momentum + schedule position; older /
+        # reference-format checkpoints lack these and resume fresh
+        step = payload.get("step", self.epoch * self.steps_per_epoch)
+        opt_state = payload.get("opt_state")
+        if opt_state is not None:
+            try:
+                opt_state = jax.tree_util.tree_map(
+                    jnp.asarray, opt_state)
+                chex_ok = jax.tree_util.tree_structure(
+                    opt_state) == jax.tree_util.tree_structure(
+                    self.state.opt_state)
+            except Exception:
+                chex_ok = False
+            if chex_ok:
+                self.state = self.state.__class__(
+                    self.state.prompt_params, opt_state,
+                    jnp.asarray(step, jnp.int32))
+            else:
+                print("  (optimizer state in checkpoint incompatible; "
+                      "resuming with fresh momentum)")
+        else:
+            self.state = self.state.__class__(
+                self.state.prompt_params, self.state.opt_state,
+                jnp.asarray(step, jnp.int32))
+        print(f"Resumed from epoch {self.epoch} (step {step})")
 
 
 @TRAINER_REGISTRY.register()
@@ -480,7 +511,8 @@ class CoOp(PromptTrainer):
         context_length = clip_cfg.context_length
         if self.cfg.TRAINER.CUT_CONTEXTLEN:
             context_length = compute_cut_context_length(
-                classnames, n_ctx, clip_cfg.context_length)
+                classnames, n_ctx, clip_cfg.context_length,
+                ctx_init=t.CTX_INIT)
         return PromptSpec(
             n_cls=len(classnames), coop_n_ctx=n_ctx, coop_csc=t.CSC,
             class_token_position=t.CLASS_TOKEN_POSITION,
@@ -512,7 +544,8 @@ class CoCoOp(PromptTrainer):
         context_length = clip_cfg.context_length
         if self.cfg.TRAINER.CUT_CONTEXTLEN:
             context_length = compute_cut_context_length(
-                classnames, n_ctx, clip_cfg.context_length)
+                classnames, n_ctx, clip_cfg.context_length,
+                ctx_init=t.CTX_INIT)
         return PromptSpec(
             n_cls=len(classnames), cocoop_n_ctx=n_ctx,
             context_length=context_length,
