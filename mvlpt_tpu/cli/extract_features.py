@@ -20,16 +20,6 @@ import numpy as np
 
 
 
-def _eval_mode(loader):
-    """Deterministic full pass for feature dumps: no shuffle, keep tails."""
-    if hasattr(loader, "set_eval_mode"):
-        loader.set_eval_mode()
-    else:
-        loader.shuffle = False
-        loader.drop_last = False
-    return loader
-
-
 def cli():
     import jax
     import jax.numpy as jnp
@@ -83,7 +73,9 @@ def cli():
                           ("test", dm.test_loader)):
         if loader is None:
             continue
-        _eval_mode(loader)
+        from mvlpt_tpu.data.loader import eval_mode
+
+        eval_mode(loader)
         feats, labels = [], []
         for batch in loader:
             n = batch.get("n_valid", len(batch["image"]))

@@ -20,16 +20,6 @@ import numpy as np
 
 VAL_SHOTS = {1: 1, 2: 2, 4: 4, 8: 4, 16: 4}  # lpclip val_shot_list
 
-def _eval_mode(loader):
-    """Deterministic full pass for feature dumps: no shuffle, keep tails."""
-    if hasattr(loader, "set_eval_mode"):
-        loader.set_eval_mode()
-    else:
-        loader.shuffle = False
-        loader.drop_last = False
-    return loader
-
-
 
 def extract_features(args):
     import jax
@@ -69,7 +59,9 @@ def extract_features(args):
     for split, loader in splits.items():
         if loader is None:
             continue
-        _eval_mode(loader)
+        from mvlpt_tpu.data.loader import eval_mode
+
+        eval_mode(loader)
         feats, labels = [], []
         for batch in loader:
             n = batch.get("n_valid", len(batch["image"]))

@@ -39,7 +39,6 @@ class DatasetBase:
         self._rebuild_metadata()
 
     def _rebuild_metadata(self):
-        items = self.train_x or self.test
         label2name = {}
         for d in self.train_x + self.val + self.test:
             label2name[d.label] = d.classname

@@ -143,6 +143,18 @@ def build_data_loader(cfg, data_source, batch_size, tfm, is_train: bool,
     )
 
 
+def eval_mode(loader):
+    """Switch any loader to a deterministic full pass (no shuffle, no
+    augmentation, keep tail batches) — for feature extraction over
+    loaders built for training."""
+    if hasattr(loader, "set_eval_mode"):
+        loader.set_eval_mode()
+    else:
+        loader.shuffle = False
+        loader.drop_last = False
+    return loader
+
+
 def prefetch_to_device(iterator, size: int = 2, sharding=None):
     """Async host->device pipeline (replaces pinned-memory workers)."""
     import collections

@@ -46,11 +46,20 @@ class CoopMultitaskDataManager:
             sub.defrost()
             sub.DATASET.NAME = name
             dataset = DATASET_REGISTRY.get(name)(sub)
+            # offset each Datum OBJECT once: some loaders alias splits
+            # (ImageNet val=test, the test-only variants train=test), so
+            # per-group offsetting would double-shift shared items (a
+            # latent bug in the reference's per-split loops,
+            # mvlpt.py:610-627, masked there by ImageNet being at
+            # offset 0 in the published scripts)
+            seen_ids = set()
             for group, acc in ((dataset.train_x, train_x), (dataset.val, val),
                                (dataset.test, test)):
                 for d in group:
-                    d.label += label_offset
-                    d.domain = domain
+                    if id(d) not in seen_ids:
+                        d.label += label_offset
+                        d.domain = domain
+                        seen_ids.add(id(d))
                 acc.extend(group)
             classnames.extend(dataset.classnames)
             lab2cname.update(

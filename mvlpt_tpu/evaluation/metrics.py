@@ -74,9 +74,18 @@ def map_11_points(y_true, y_pred) -> float:
 
 
 def roc_auc(y_true, y_pred) -> float:
+    """ROC-AUC; binary tasks may pass (N, 2) class logits (the trainer
+    feeds full per-task logit slices) — the positive-class score is used,
+    as sklearn requires 1-D scores for binary targets."""
     from sklearn.metrics import roc_auc_score
 
-    return float(roc_auc_score(np.asarray(y_true), np.asarray(y_pred)))
+    y = np.asarray(y_true)
+    p = np.asarray(y_pred)
+    if p.ndim == 2 and p.shape[1] == 2 and (y.ndim == 1 or y.shape[1] == 2):
+        if y.ndim == 2:
+            y = np.argmax(y, axis=-1)
+        p = p[:, 1] - p[:, 0]
+    return float(roc_auc_score(y, p))
 
 
 def threshold_accuracy(y_true, y_pred, threshold: float = 0.5) -> float:

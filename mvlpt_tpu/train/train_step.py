@@ -66,7 +66,6 @@ def make_train_step(
     model: MVLPTModel,
     tx: optax.GradientTransformation,
     task_ranges: TaskClassRanges | None = None,
-    mesh=None,
     donate: bool = True,
 ) -> Callable:
     """Build the jitted train step.
@@ -96,11 +95,11 @@ def make_train_step(
         }
         return new_state, metrics
 
+    # Sharding note: under a mesh the step needs no explicit
+    # in_shardings — callers place the backbone/batch with
+    # parallel.shard_tree and GSPMD propagates from the inputs
+    # (validated by tests/test_train_step.py::test_spmd_step_on_8_device_mesh).
     donate_argnums = (0,) if donate else ()
-    if mesh is None:
-        return jax.jit(step_fn, donate_argnums=donate_argnums)
-    # Under a mesh: explicit shardings — replicated state/consts,
-    # model-sharded backbone, batch on the data axis.
     return jax.jit(step_fn, donate_argnums=donate_argnums)
 
 

@@ -65,6 +65,26 @@ def load_clip_backbone(cfg, dtype):
     return clip_core.cast_backbone(params, dtype), clip_cfg
 
 
+def _fast_forward_schedule(opt_state, step: int):
+    """Set every ``count`` field in an optax state tree to ``step`` so
+    step-indexed schedules resume at the right position (the count lives
+    in e.g. ScaleByScheduleState/ScaleByAdamState, not in TrainState)."""
+
+    def fix(node):
+        if hasattr(node, "_fields"):  # NamedTuple state
+            children = {f: fix(getattr(node, f)) for f in node._fields}
+            if "count" in node._fields:
+                children["count"] = jnp.asarray(step, jnp.int32)
+            return type(node)(**children)
+        if isinstance(node, tuple):
+            return tuple(fix(x) for x in node)
+        if isinstance(node, list):
+            return [fix(x) for x in node]
+        return node
+
+    return fix(opt_state)
+
+
 class MetricMeter:
     """Accumulates step metrics WITHOUT forcing a device sync: values
     stay as (possibly device-resident) scalars until summary() — so the
@@ -357,7 +377,10 @@ class PromptTrainer:
             labels = np.asarray(batch["label"])[:n_valid]
             if cfg.DATASET.COOP:
                 self.evaluator.process(logits, labels)
-            else:
+            elif not self.multi_task:
+                # only the single-task branch consumes these; multitask
+                # keeps per-task copies in task_eval (avoids holding the
+                # full (N, n_global) logit matrix twice)
                 elevater_pred.append(logits)
                 elevater_true.append(labels)
             if tasks is not None:
@@ -461,29 +484,28 @@ class PromptTrainer:
         self.state = init_train_state(params, self.tx)
         self.epoch = payload["epoch"]
         # restore optimizer momentum + schedule position; older /
-        # reference-format checkpoints lack these and resume fresh
+        # reference-format checkpoints lack these — momentum resumes
+        # fresh, but the schedule count (which lives INSIDE optax's
+        # ScaleByScheduleState, not in TrainState.step) is always
+        # fast-forwarded so the LR does not restart from step 0
         step = payload.get("step", self.epoch * self.steps_per_epoch)
         opt_state = payload.get("opt_state")
+        restored = False
         if opt_state is not None:
             try:
-                opt_state = jax.tree_util.tree_map(
-                    jnp.asarray, opt_state)
-                chex_ok = jax.tree_util.tree_structure(
+                opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+                restored = jax.tree_util.tree_structure(
                     opt_state) == jax.tree_util.tree_structure(
                     self.state.opt_state)
             except Exception:
-                chex_ok = False
-            if chex_ok:
-                self.state = self.state.__class__(
-                    self.state.prompt_params, opt_state,
-                    jnp.asarray(step, jnp.int32))
-            else:
+                restored = False
+        if not restored:
+            if opt_state is not None:
                 print("  (optimizer state in checkpoint incompatible; "
                       "resuming with fresh momentum)")
-        else:
-            self.state = self.state.__class__(
-                self.state.prompt_params, self.state.opt_state,
-                jnp.asarray(step, jnp.int32))
+            opt_state = _fast_forward_schedule(self.state.opt_state, step)
+        self.state = self.state.__class__(
+            self.state.prompt_params, opt_state, jnp.asarray(step, jnp.int32))
         print(f"Resumed from epoch {self.epoch} (step {step})")
 
 

@@ -162,3 +162,85 @@ def test_cut_contextlen_accounts_for_ctx_init_tokens():
     consts = build_prompt_consts(names, spec, params, jnp.float32,
                                  ctx_init=init)
     assert consts.token_prefix.shape[0] == 2
+
+
+def test_fast_forward_schedule_applies_correct_lr():
+    """Second-pass review: the schedule count lives inside optax state —
+    resume without a stored opt_state must fast-forward it so the LR
+    doesn't restart at the base value."""
+    import jax.numpy as jnp
+    import optax
+
+    from mvlpt_tpu.config import get_cfg_default
+    from mvlpt_tpu.train.optim import build_optimizer
+    from mvlpt_tpu.train.trainer import _fast_forward_schedule
+
+    cfg = get_cfg_default()
+    cfg.OPTIM.LR = 1.0
+    cfg.OPTIM.LR_SCHEDULER = "cosine"
+    cfg.OPTIM.MAX_EPOCH = 200
+    cfg.OPTIM.WARMUP_EPOCH = 0
+    cfg.OPTIM.MOMENTUM = 0.9
+    cfg.OPTIM.WEIGHT_DECAY = 0.0
+    tx, schedule = build_optimizer(cfg.OPTIM, steps_per_epoch=1)
+
+    params = jnp.zeros(3)
+    state = _fast_forward_schedule(tx.init(params), step=150)
+    g = jnp.ones(3)
+    updates, _ = tx.update(g, state, params)
+    want = -float(schedule(150))  # cosine tail, ~0.146, NOT the base 1.0
+    np.testing.assert_allclose(np.asarray(updates), want, rtol=1e-6)
+    assert abs(want) < 0.2
+
+
+def test_roc_auc_binary_two_column():
+    from mvlpt_tpu.evaluation.metrics import roc_auc
+
+    y = np.array([0, 1, 1, 0, 1])
+    logits = np.stack([-y * 2.0 + 1.0, y * 2.0 - 1.0], axis=1)
+    assert roc_auc(y, logits) == 1.0
+    # k-hot targets also accepted
+    khot = np.eye(2)[y]
+    assert roc_auc(khot, logits) == 1.0
+
+
+def test_multitask_label_offset_handles_aliased_splits():
+    """Second-pass review: loaders that alias splits (ImageNet val=test)
+    must not be double-offset."""
+    from mvlpt_tpu.config import get_cfg_default
+    from mvlpt_tpu.data.datum import DatasetBase, Datum
+    from mvlpt_tpu.data.managers import CoopMultitaskDataManager
+    from mvlpt_tpu.utils.registry import DATASET_REGISTRY
+
+    class _AliasedDataset(DatasetBase):
+        def __init__(self, cfg):
+            data = [Datum(impath=f"{i}.jpg", label=i % 2, classname=f"x{i % 2}")
+                    for i in range(4)]
+            super().__init__(train_x=data, val=data, test=data)  # aliased!
+
+    if "_AliasedDataset" not in DATASET_REGISTRY:
+        DATASET_REGISTRY.register(_AliasedDataset, name="_AliasedDataset")
+
+    class _PlainDataset(DatasetBase):
+        def __init__(self, cfg):
+            data = [Datum(impath=f"{i}.jpg", label=i % 3, classname=f"y{i % 3}")
+                    for i in range(6)]
+            super().__init__(train_x=list(data), val=list(data), test=list(data))
+
+    if "_PlainDataset" not in DATASET_REGISTRY:
+        DATASET_REGISTRY.register(_PlainDataset, name="_PlainDataset")
+
+    cfg = get_cfg_default()
+    cfg.DATASET.DATASET = "_PlainDataset,_AliasedDataset"
+    cfg.DATASET.COOP = True
+    cfg.DATASET.MULTITASK = True
+    cfg.DATALOADER.NUM_WORKERS = 0
+
+    import unittest.mock as mock
+
+    with mock.patch("mvlpt_tpu.data.managers.build_data_loader",
+                    lambda *a, **k: None):
+        dm = CoopMultitaskDataManager(cfg)
+    # aliased dataset occupies labels [3, 5); offset applied exactly once
+    assert dm._task_class_idx["_AliasedDataset"] == (3, 5)
+    assert set(dm.lab2cname) == {0, 1, 2, 3, 4}

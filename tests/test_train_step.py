@@ -127,7 +127,7 @@ def test_spmd_step_on_8_device_mesh():
     cfg = get_cfg_default()
     tx, _ = build_optimizer(cfg.OPTIM, steps_per_epoch=1)
     state = init_train_state(pp, tx)
-    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    step = make_train_step(model, tx, donate=False)
 
     with mesh:
         backbone_s = shard_tree(backbone, backbone_partition_specs(backbone), mesh)
