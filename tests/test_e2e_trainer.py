@@ -169,3 +169,29 @@ def test_finetune_clip_trainer(tmp_path):
     assert trainer.state.prompt_params["head"]["kernel"].shape == (16, 10)
     assert os.path.exists(os.path.join(
         str(tmp_path / "out_ft"), "prompt_learner", "model.pth.tar-2"))
+
+
+def test_warm_start_transfer_training(tmp_path):
+    """Target-task adaptation (SURVEY §3.3): --model-dir loads the source
+    prompt, then training continues on the target task."""
+    import jax
+
+    make_coop_dataset(tmp_path / "data")
+    src = str(tmp_path / "src")
+    _run(["--root", str(tmp_path / "data"), "--output-dir", src,
+          "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+          "--seed", "1", "--shots", "2", *TINY_OPTS])
+
+    # target task with DIFFERENT classnames -> prefix/suffix consts rebuilt
+    make_coop_dataset(tmp_path / "data", "caltech-101", ("face", "leopard"),
+                      split_name="split_zhou_Caltech101.json",
+                      image_subdir="101_ObjectCategories")
+    trainer = _run([
+        "--root", str(tmp_path / "data"), "--output-dir", str(tmp_path / "tgt"),
+        "--trainer", "MVLPT", "--dataset-coop", "--dataset", "Caltech101",
+        "--seed", "2", "--shots", "2", "--model-dir", src, *TINY_OPTS])
+    # trained further on the target (checkpoints written, params finite)
+    assert os.path.exists(os.path.join(
+        str(tmp_path / "tgt"), "prompt_learner", "model-best.pth.tar"))
+    for leaf in jax.tree_util.tree_leaves(trainer.state.prompt_params):
+        assert np.isfinite(np.asarray(leaf)).all()
