@@ -195,3 +195,35 @@ def test_warm_start_transfer_training(tmp_path):
         str(tmp_path / "tgt"), "prompt_learner", "model-best.pth.tar"))
     for leaf in jax.tree_util.tree_leaves(trainer.state.prompt_params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_zeroshot_on_elevater_task(tmp_path):
+    """Zero-shot eval over an ELEVATER manifest task resolves templates
+    from the bundled metadata."""
+    make_elevater_task(tmp_path / "data", "cifar-10", 10, n_train=8, n_test=8)
+    trainer = _run([
+        "--root", str(tmp_path / "data"),
+        "--output-dir", str(tmp_path / "out_zsev"),
+        "--trainer", "ZeroshotCLIP", "--dataset", "cifar-10",
+        "--seed", "1", "--no-train", "--eval-only",
+        "DATALOADER.TEST.BATCH_SIZE", "4", "DATALOADER.NUM_WORKERS", "0",
+        "INPUT.SIZE", "(32, 32)", "MODEL.BACKBONE.NAME", "ViT-B/32",
+    ])
+    assert trainer.text_features.shape == (10, 16)
+
+
+def test_single_task_multilabel_training(tmp_path):
+    """Single ELEVATER multilabel task (voc-style): k-hot targets through
+    the soft-CE path and the 11-pt mAP metric."""
+    make_elevater_task(tmp_path / "data", "voc-2007-classification", 20,
+                       n_train=40, n_test=8, multilabel=True)
+    trainer = _run([
+        "--root", str(tmp_path / "data"),
+        "--output-dir", str(tmp_path / "out_ml"),
+        "--trainer", "MVLPT", "--dataset", "voc-2007-classification",
+        "--seed", "1", "--shots", "2",
+        *TINY_OPTS,
+    ])
+    assert trainer.dm._metric_name == "11point_mAP"
+    log = open(os.path.join(str(tmp_path / "out_ml"), "log.txt")).read()
+    assert "11point_mAP" in log
