@@ -41,9 +41,15 @@ def cli():
     ctx = np.asarray(sd[key], np.float32)
     print(f"Size of context: {ctx.shape}")
 
-    from mvlpt_tpu.checkpoint.convert import load_clip
+    # resolve weights like the trainer (env ckpt path / cache / download)
+    from mvlpt_tpu.config import get_cfg_default
+    from mvlpt_tpu.train.trainer import load_clip_backbone
 
-    params, _ = load_clip(args.backbone)
+    cfg = get_cfg_default()
+    cfg.MODEL.BACKBONE.NAME = args.backbone
+    import jax.numpy as jnp
+
+    params, _ = load_clip_backbone(cfg, jnp.float32)
     emb = np.asarray(params["text"]["token_embedding"], np.float32)
     for m, rows in enumerate(interpret(ctx, emb, args.topk)):
         print(f"--- context set {m} ---")
