@@ -18,6 +18,32 @@ def _linear(x, p):
     return layers._matmul(x, p["kernel"], p["bias"])
 
 
+def _coupler_transformer_tokenwise(x: jax.Array, blocks: dict) -> jax.Array:
+    """The UPT coupler transformer, with the reference's exact semantics.
+
+    mvlpt.py:406 feeds the (1, L, D) prompt sequence to a CLIP
+    ``Transformer`` whose ``nn.MultiheadAttention`` is seq-major
+    (batch_first=False), so the tensor is interpreted as (seq=1, batch=L,
+    D): every token attends only to itself. A softmax over one logit is
+    identically 1, so the attention sublayer degenerates to
+    ``out_proj(v_proj(ln_1(x)))`` applied tokenwise — no cross-token
+    mixing ever happens in the reference coupler. Replicated here
+    bug-for-bug (verified by tests/test_reference_parity.py); the
+    cross-token variant is available as PROJECT_METHOD='transformer_seq'.
+    """
+    def body(h, p):
+        y = layers.layer_norm(h, p["ln_1"])
+        d = h.shape[-1]
+        v = layers._matmul(y, p["attn"]["qkv_w"][:, 2 * d:],
+                           p["attn"]["qkv_b"][2 * d:])
+        h = h + layers._matmul(v, p["attn"]["out_w"], p["attn"]["out_b"])
+        h = h + layers.mlp(layers.layer_norm(h, p["ln_2"]), p["mlp"])
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, blocks)
+    return x
+
+
 def upt_couple(prompt_params: dict, spec: PromptSpec):
     """UPT coupler (mvlpt.py:376-414): flatten CoOp ctx + all VPT layers
     into one sequence, pre-project to PROJECT_DIM, run the shared 1-layer
@@ -56,8 +82,14 @@ def upt_couple(prompt_params: dict, spec: PromptSpec):
     seq = jnp.concatenate([c, v], axis=1)  # (1, coop_len + L*n_vpt, d)
 
     if spec.project_method == "transformer":
+        seq = _coupler_transformer_tokenwise(seq, proj["transformer"])
+    elif spec.project_method == "transformer_seq":
+        # TPU-native extension: true cross-token attention over the
+        # coupled sequence (what mvlpt.py:406 *looks like* it does).
         seq = layers.transformer(seq, proj["transformer"], n_heads=1)
     elif spec.project_method == "mlp":
+        # The reference's 'mlp' branch crashes at init (nn.GeLU does not
+        # exist, mvlpt.py:257); implemented here as the intended GELU.
         seq = jax.nn.gelu(seq)
     seq = seq.astype(jnp.float32)
 

@@ -261,7 +261,7 @@ def init_prompt_params(
         if spec.vpt_dim != d:
             proj["vpt_pre"] = _torch_linear_init(keys[6], spec.vpt_dim, d)
             proj["vpt_post"] = _torch_linear_init(keys[7], d, spec.vpt_dim)
-        if spec.project_method == "transformer":
+        if spec.project_method in ("transformer", "transformer_seq"):
             proj["transformer"] = _init_block_stack(keys[8], 1, d)
         params["mvlpt_proj"] = proj
 
