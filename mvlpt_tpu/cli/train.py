@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import argparse
 
-from mvlpt_tpu.config import get_cfg_default
+from mvlpt_tpu.config import get_cfg_default, validate_support
 from mvlpt_tpu.utils import set_random_seed, setup_logger
 
 
@@ -72,6 +72,7 @@ def setup_cfg(args):
         cfg.merge_from_file(args.config_file)
     reset_cfg(cfg, args)
     cfg.merge_from_list(args.opts)
+    validate_support(cfg)
     cfg.freeze()
     return cfg
 

@@ -183,6 +183,35 @@ def get_cfg_default() -> CN:
     return cfg
 
 
+def validate_support(cfg) -> None:
+    """Fail loudly on declared-but-unimplemented knobs.
+
+    These keys exist for yacs/Dassl config compatibility (reference
+    train.py merges configs carrying them) but drive dassl DataLoader
+    features that MVLPT never exercises; silently ignoring a non-default
+    value would be a no-op the user can't see. No reference config sets
+    any of them off-default."""
+    problems = []
+    if cfg.DATALOADER.K_TRANSFORMS != 1:
+        problems.append("DATALOADER.K_TRANSFORMS != 1 (multi-view "
+                        "augmentation) is not implemented")
+    if cfg.DATALOADER.RETURN_IMG0:
+        problems.append("DATALOADER.RETURN_IMG0 (un-augmented image "
+                        "passthrough) is not implemented")
+    for sub in ("TRAIN_X", "TRAIN_U"):
+        node = cfg.DATALOADER[sub]
+        if node.SAMPLER not in ("RandomSampler", "SequentialSampler"):
+            problems.append(
+                f"DATALOADER.{sub}.SAMPLER={node.SAMPLER!r}: only "
+                "RandomSampler/SequentialSampler are implemented")
+        if node.N_DOMAIN != 0 or node.N_INS != 16:
+            problems.append(
+                f"DATALOADER.{sub}.N_DOMAIN/N_INS only apply to the "
+                "domain/class samplers, which are not implemented")
+    if problems:
+        raise NotImplementedError("; ".join(problems))
+
+
 def extend_cfg(cfg: CN) -> CN:
     """Kept for API familiarity; the defaults above already include the
     MVLPT extensions that the reference adds in train.py:extend_cfg."""

@@ -63,6 +63,58 @@ def _matmul(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array
     return y.astype(x.dtype)
 
 
+def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+          mask: jax.Array | None) -> jax.Array:
+    """softmax((q k^T) * scale + mask) v with a TPU-shaped backward.
+
+    Forward: logits and softmax in fp32 (the numerics island), output in
+    the compute dtype. Backward (custom VJP): the softmax probabilities
+    are saved in the COMPUTE dtype (halves the dominant HBM residual
+    traffic — fp32 (B,H,S,S) was the top DMA consumer in profiles), and
+    every backward matmul runs with compute-dtype inputs + fp32 MXU
+    accumulation. The default jax VJP would instead feed the fp32
+    softmax cotangent straight into the dq/dk dots, dropping those
+    matmuls off the bf16 MXU fast path (~4x slower). Gradients here flow
+    only to prompt tokens (the backbone is frozen), so compute-dtype
+    backward precision is ample; in fp32 mode the math is unchanged.
+    """
+    dtype = v.dtype
+    scale = q.shape[-1] ** -0.5
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _fwd(q, k, v)[0]
+
+    def _fwd(q, k, v):
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+        return o.astype(dtype), (q, k, v, probs)
+
+    def _bwd(res, g):
+        q, k, v, p = res
+        g = g.astype(dtype)
+        dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
+                        preferred_element_type=jnp.float32).astype(dtype)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g, v,
+                        preferred_element_type=jnp.float32).astype(dtype)
+        p32, dp32 = p.astype(jnp.float32), dp.astype(jnp.float32)
+        ds = (p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
+              ).astype(dtype)
+        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k,
+                        preferred_element_type=jnp.float32) * scale
+        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
+                        preferred_element_type=jnp.float32) * scale
+        return dq.astype(dtype), dk.astype(dtype), dv
+
+    f.defvjp(_fwd, _bwd)
+    return f(q, k, v)
+
+
 def attention(
     x: jax.Array,
     p: dict,
@@ -73,7 +125,8 @@ def attention(
     """Multi-head self-attention. ``mask`` is additive fp32 (S, S) or None.
 
     ``attn_fn(q, k, v, mask)`` with (B, H, S, D) tensors may be supplied
-    to swap in a fused Pallas kernel; default is the XLA path.
+    to swap in a fused Pallas kernel; default is the XLA path with the
+    custom-VJP softmax-attention core (see _sdpa).
     """
     b, s, w = x.shape
     head_dim = w // n_heads
@@ -84,15 +137,7 @@ def attention(
     if attn_fn is not None:
         o = attn_fn(q, k, v, mask)
     else:
-        scale = head_dim ** -0.5
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        if mask is not None:
-            logits = logits + mask.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
-        o = o.astype(x.dtype)
+        o = _sdpa(q, k, v, mask)
 
     o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
     return _matmul(o, p["out_w"], p["out_b"])

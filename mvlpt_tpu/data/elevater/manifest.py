@@ -87,6 +87,9 @@ class TaskManifest:
     num_classes: int
     train: list[ElevaterItem]
     test: list[ElevaterItem]
+    # Populated only when DATASET.VAL_SET names an explicit val split
+    # (feature.py:611-613); empty means "carve val out of train".
+    val: list[ElevaterItem] = dataclasses.field(default_factory=list)
 
     @property
     def is_multilabel(self) -> bool:
@@ -105,10 +108,18 @@ def _load_image_folder_split(split_dir: str, classnames) -> list[ElevaterItem]:
     return items
 
 
-def load_task_manifest(root: str, task: str) -> TaskManifest:
+def load_task_manifest(root: str, task: str, train_set: str = "train",
+                       val_set: str = "", test_set: str = "val") -> TaskManifest:
+    """Load one task, honoring DATASET.TRAIN_SET/VAL_SET/TEST_SET
+    (feature.py:609-617: the local ImageFolder path reads
+    ROOT/<TRAIN_SET> and ROOT/<TEST_SET>, plus ROOT/<VAL_SET> when set).
+    With the reference default TEST_SET='val', a ``test`` directory (our
+    canonical layout) is also accepted."""
     task_dir = os.path.join(root, task)
     manifest_path = os.path.join(task_dir, "manifest.json")
     n_classes = len(class_map(task))
+    test_candidates = [test_set, "test", "val"] if test_set == "val" \
+        else [test_set]
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
@@ -118,24 +129,46 @@ def load_task_manifest(root: str, task: str) -> TaskManifest:
                 ElevaterItem(os.path.join(task_dir, rel), tuple(int(l) for l in labels))
                 for rel, labels in rows
             ]
+        test_items = next(
+            (splits[c] for c in test_candidates if c in splits), [])
+        if train_set != "train" and train_set not in splits:
+            raise FileNotFoundError(
+                f"DATASET.TRAIN_SET={train_set!r} not in manifest splits "
+                f"{sorted(m['splits'])} for task {task!r}")
+        if val_set and val_set not in splits:
+            raise FileNotFoundError(
+                f"DATASET.VAL_SET={val_set!r} not in manifest splits "
+                f"{sorted(m['splits'])} for task {task!r}")
         return TaskManifest(
             task=task,
             dataset_type=m.get("type", MULTICLASS),
             num_classes=m.get("num_classes", n_classes),
-            train=splits.get("train", []),
-            test=splits.get("test", splits.get("val", [])),
+            train=splits.get(train_set, []),
+            test=test_items,
+            val=splits.get(val_set, []) if val_set else [],
         )
     # ImageFolder fallback
-    train_dir, test_dir = os.path.join(task_dir, "train"), os.path.join(task_dir, "test")
+    train_dir = os.path.join(task_dir, train_set)
     if os.path.isdir(train_dir):
+        test_dir = next(
+            (d for c in test_candidates
+             if os.path.isdir(d := os.path.join(task_dir, c))), None)
+        if test_dir is None and test_set != "val":
+            raise FileNotFoundError(
+                f"DATASET.TEST_SET={test_set!r} not found under {task_dir}")
+        val_dir = os.path.join(task_dir, val_set) if val_set else None
+        if val_set and not os.path.isdir(val_dir):
+            raise FileNotFoundError(
+                f"DATASET.VAL_SET={val_set!r} not found under {task_dir}")
         return TaskManifest(
             task=task, dataset_type=MULTICLASS, num_classes=n_classes,
             train=_load_image_folder_split(train_dir, None),
-            test=_load_image_folder_split(test_dir, None) if os.path.isdir(test_dir) else [],
+            test=_load_image_folder_split(test_dir, None) if test_dir else [],
+            val=_load_image_folder_split(val_dir, None) if val_set else [],
         )
     raise FileNotFoundError(
-        f"No manifest.json or train/ ImageFolder for ELEVATER task {task!r} "
-        f"under {task_dir}")
+        f"No manifest.json or {train_set}/ ImageFolder for ELEVATER task "
+        f"{task!r} under {task_dir}")
 
 
 def sample_few_shot_subset(items: list[ElevaterItem], shots: int, seed: int,

@@ -172,7 +172,9 @@ class ElevaterDataManager:
     def __init__(self, cfg):
         task = cfg.DATASET.DATASET
         root = cfg.DATASET.ROOT
-        man = ev.load_task_manifest(root, task)
+        man = ev.load_task_manifest(
+            root, task, train_set=cfg.DATASET.TRAIN_SET,
+            val_set=cfg.DATASET.VAL_SET, test_set=cfg.DATASET.TEST_SET)
         self._metric = get_metric(ev.class_map_metric(task))
         self._metric_name = ev.class_map_metric(task)
         names = ev.class_map(task)
@@ -183,8 +185,13 @@ class ElevaterDataManager:
         seed = cfg.DATASET.RANDOM_SEED_SAMPLING
         train_items = ev.sample_few_shot_subset(
             man.train, shots, seed, man.num_classes)
-        train_items, val_items = ev.train_val_split(
-            train_items, 0.2, seed, man.num_classes, man.is_multilabel)
+        if man.val:
+            # Explicit DATASET.VAL_SET: train is used whole
+            # (feature.py:611-613).
+            val_items = man.val
+        else:
+            train_items, val_items = ev.train_val_split(
+                train_items, 0.2, seed, man.num_classes, man.is_multilabel)
 
         if man.is_multilabel:
             def target_fn(it, n=man.num_classes):

@@ -42,6 +42,17 @@ class TaskClassRanges:
     end: jax.Array    # (n_tasks,)
 
 
+def _auto_chunk(batch: int, n_cls: int, target_rows: int = 4096) -> int:
+    """Largest divisor of ``batch`` keeping chunk*n_cls near target_rows.
+
+    All shapes are static under jit, so this runs at trace time."""
+    best = 1
+    for c in range(1, batch + 1):
+        if batch % c == 0 and c * n_cls <= target_rows:
+            best = c
+    return best
+
+
 @dataclasses.dataclass(frozen=True)
 class MVLPTModel:
     """Static bundle: architecture + prompt spec + frozen options."""
@@ -51,6 +62,9 @@ class MVLPTModel:
     remat: bool = False
     attn_fn: Callable | None = None
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # CoCoOp: how many instances' class grids go through the text tower
+    # per call (None = auto: target ~4k rows/call, divisor of the batch).
+    cocoop_chunk: int | None = None
 
     def encode_image(self, backbone, prompt_params, images, rng=None,
                      vpt_shallow=None, vpt_deep=None):
@@ -106,20 +120,31 @@ class MVLPTModel:
                 image_features, text_features, backbone["logit_scale"])
         else:
             # CoCoOp: instance-conditioned prompts. The reference loops
-            # over the batch (mvlpt.py:563-570); here the (B, n_cls)
-            # prompt grid is flattened through one text-tower call.
+            # over the batch, one full text tower per image
+            # (mvlpt.py:563-570). TPU-first shape: pack `chunk` instances'
+            # (n_cls, S) prompt grids into ONE (chunk*n_cls, S) text-tower
+            # call so the MXU sees large batched matmuls, and lax.scan
+            # over the B/chunk chunks to bound live activation memory.
             img32 = image_features.astype(jnp.float32)
             img_n = img32 / jnp.linalg.norm(img32, axis=-1, keepdims=True)
             ctx_shifted = cocoop_condition(prompt_params, spec, img_n)  # (B,n,Wt)
-            b = ctx_shifted.shape[0]
+            b, n_cls = ctx_shifted.shape[0], spec.n_cls
+            chunk = self.cocoop_chunk or _auto_chunk(b, n_cls)
 
-            def per_instance(ctx_i):
-                prompts = coop_assemble(ctx_i, consts, spec)  # (n_cls,S,Wt)
-                tf = self.encode_text_prompts(backbone, prompts, consts.eot_idx)
+            def per_chunk(ctx_c):  # (chunk, n_ctx, Wt)
+                prompts = jax.vmap(
+                    lambda c: coop_assemble(c, consts, spec))(ctx_c)
+                prompts = prompts.reshape(chunk * n_cls, *prompts.shape[2:])
+                eot = jnp.tile(consts.eot_idx, chunk)
+                tf = self.encode_text_prompts(backbone, prompts, eot)
                 tf = tf.astype(jnp.float32)
-                return tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+                tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+                return tf.reshape(chunk, n_cls, -1)
 
-            text_features = jax.lax.map(per_instance, ctx_shifted)  # (B,n_cls,E)
+            text_features = jax.lax.map(
+                per_chunk, ctx_shifted.reshape(b // chunk, chunk,
+                                               *ctx_shifted.shape[1:]))
+            text_features = text_features.reshape(b, n_cls, -1)
             scale = jnp.exp(backbone["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.einsum("be,bce->bc", img_n, text_features)
 

@@ -102,6 +102,72 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
+def _fwd_kernel_sp(q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *, scale):
+    """Forward that ALSO stores compute-dtype probabilities for the
+    backward: fp32 scores/softmax never leave VMEM; only the (G, S, S)
+    low-precision probs are written to HBM (half the residual bytes of
+    the XLA path's fp32 tensor, and no fp32 logits round-trip)."""
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]  # (G, S, D)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
+    s = s * scale + mask_ref[...][None]
+    p = jax.nn.softmax(s, axis=-1).astype(p_ref.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+    p_ref[...] = p
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attend_sp(q, k, v, mask, scale):
+    return _attend_sp_fwd(q, k, v, mask, scale)[0]
+
+
+def _attend_sp_fwd(q, k, v, mask, scale):
+    bh, s_pad, d = q.shape
+    g = _block_rows(bh, s_pad, d, n_f32_mats=3, n_seq_bufs=5)
+    row, mspec = _specs(g, s_pad, d)
+    pspec = pl.BlockSpec((g, s_pad, s_pad), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    o, p = pl.pallas_call(
+        functools.partial(_fwd_kernel_sp, scale=scale),
+        grid=(bh // g,),
+        in_specs=[row, row, row, mspec],
+        out_specs=(row, pspec),
+        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                   jax.ShapeDtypeStruct((bh, s_pad, s_pad), q.dtype)),
+        interpret=_interpret(),
+    )(q, k, v, mask)
+    return o, (q, k, v, p)
+
+
+def _attend_sp_bwd(scale, res, do):
+    """Stored-probs backward: plain XLA einsums over the saved
+    compute-dtype probabilities — every matmul runs on the bf16 MXU fast
+    path with fp32 accumulation; only the softmax-VJP elementwise step
+    runs in fp32. (The flash-style recomputing Pallas backward measured
+    SLOWER than this at CLIP scale; see select_attn_fn.)"""
+    q, k, v, p = res
+    dtype = v.dtype
+    do = do.astype(dtype)
+    dv = jnp.einsum("gqk,gqd->gkd", p, do,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    dp = jnp.einsum("gqd,gkd->gqk", do, v,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    p32, dp32 = p.astype(jnp.float32), dp.astype(jnp.float32)
+    ds = (p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
+          * scale).astype(dtype)
+    dq = jnp.einsum("gqk,gkd->gqd", ds, k,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    dk = jnp.einsum("gqk,gqd->gkd", ds, q,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    return dq, dk, dv, None
+
+
+_attend_sp.defvjp(_attend_sp_fwd, _attend_sp_bwd)
+
+
 def _specs(g, s_pad, d):
     row = pl.BlockSpec((g, s_pad, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -149,14 +215,7 @@ def _attend_bwd(scale, res, do):
 _attend.defvjp(_attend_fwd, _attend_bwd)
 
 
-def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                     mask: jax.Array | None = None) -> jax.Array:
-    """Drop-in ``attn_fn`` for core.layers.attention.
-
-    q, k, v: (B, H, S, D); mask: additive fp32 (S, S) or None.
-    Pads S to a lane multiple, runs the fused kernel over a blocked
-    (B*H/G,) grid, unpads.
-    """
+def _padded_call(q, k, v, mask, attend):
     b, h, s, d = q.shape
     s_pad = _round_up(s, 128)
     scale = d ** -0.5
@@ -172,8 +231,28 @@ def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         return jnp.pad(x, ((0, 0), (0, 0), (0, s_pad - s), (0, 0))
                        ).reshape(b * h, s_pad, d)
 
-    o = _attend(pad(q), pad(k), pad(v), full_mask, scale)
+    o = attend(pad(q), pad(k), pad(v), full_mask, scale)
     return o.reshape(b, h, s_pad, d)[:, :, :s, :]
+
+
+def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     mask: jax.Array | None = None) -> jax.Array:
+    """Drop-in ``attn_fn`` for core.layers.attention (flash style: the
+    backward kernel recomputes probabilities; residuals are just q/k/v).
+
+    q, k, v: (B, H, S, D); mask: additive fp32 (S, S) or None.
+    Pads S to a lane multiple, runs the fused kernel over a blocked
+    (B*H/G,) grid, unpads.
+    """
+    return _padded_call(q, k, v, mask, _attend)
+
+
+def pallas_attention_sp(q: jax.Array, k: jax.Array, v: jax.Array,
+                        mask: jax.Array | None = None) -> jax.Array:
+    """Stored-probs hybrid ``attn_fn``: Pallas fused forward that writes
+    compute-dtype probabilities as the only (B,H,S,S) residual, XLA
+    stored-probs backward on the bf16 MXU fast path."""
+    return _padded_call(q, k, v, mask, _attend_sp)
 
 
 def available() -> bool:

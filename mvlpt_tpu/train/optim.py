@@ -26,8 +26,15 @@ def build_lr_schedule(ocfg, steps_per_epoch: int):
     max_epoch = int(ocfg.MAX_EPOCH)
     name = ocfg.LR_SCHEDULER
     warmup_epoch = int(ocfg.WARMUP_EPOCH)
+    # Dassl's WARMUP_RECOUNT: the wrapped torch scheduler is not stepped
+    # during warmup and (when True, the default) restarts its epoch count
+    # at the end of warmup, so epoch e >= W trains at schedule(e - W).
+    # With False the count includes the warmup epochs: schedule(e).
+    recount = bool(getattr(ocfg, "WARMUP_RECOUNT", True)) and warmup_epoch > 0
 
     def epoch_lr(epoch: float) -> float:
+        if recount:
+            epoch = max(0, epoch - warmup_epoch)
         if name == "cosine":
             return base_lr * 0.5 * (1.0 + math.cos(math.pi * epoch / max_epoch))
         if name == "single_step":
@@ -61,6 +68,30 @@ def build_lr_schedule(ocfg, steps_per_epoch: int):
     return schedule
 
 
+def _trace_with_dampening(momentum: float, damp: float):
+    """torch SGD momentum with dampening: buf_0 = g_0 (torch skips
+    dampening on the very first accumulation), then
+    buf_t = momentum * buf_{t-1} + (1 - damp) * g_t; update = buf."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return {"count": jnp.zeros([], jnp.int32),
+                "trace": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+    def update(updates, state, params=None):
+        first = state["count"] == 0
+        scale = jnp.where(first, 1.0, 1.0 - damp)
+
+        def f(g, t):
+            return momentum * t + scale.astype(g.dtype) * g
+
+        new_trace = jax.tree_util.tree_map(f, updates, state["trace"])
+        return new_trace, {"count": state["count"] + 1, "trace": new_trace}
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(ocfg, steps_per_epoch: int):
     """(optax.GradientTransformation, schedule) from an OPTIM config."""
     schedule = build_lr_schedule(ocfg, steps_per_epoch)
@@ -71,9 +102,16 @@ def build_optimizer(ocfg, steps_per_epoch: int):
         parts = []
         if wd:
             parts.append(optax.add_decayed_weights(wd))
-        parts.append(
-            optax.trace(decay=float(ocfg.MOMENTUM), nesterov=bool(ocfg.SGD_NESTEROV))
-        )
+        damp = float(getattr(ocfg, "SGD_DAMPNING", 0.0))
+        if damp:
+            if bool(ocfg.SGD_NESTEROV):
+                raise ValueError(
+                    "SGD_DAMPNING > 0 with nesterov is invalid (torch "
+                    "raises too)")
+            parts.append(_trace_with_dampening(float(ocfg.MOMENTUM), damp))
+        else:
+            parts.append(optax.trace(
+                decay=float(ocfg.MOMENTUM), nesterov=bool(ocfg.SGD_NESTEROV)))
         parts.append(optax.scale_by_learning_rate(schedule))
         tx = optax.chain(*parts)
     elif name == "adam":

