@@ -151,9 +151,8 @@ def cli():
     fe.add_argument("--root", required=True)
     fe.add_argument("--dataset", required=True)
     fe.add_argument("--dataset-coop", action="store_true")
-    # NOTE: the reference probes RN50 features (lpclip/feat_extractor.py:145);
-    # the ResNet visual tower lands in a later round — ViT features for now.
-    fe.add_argument("--backbone", default="ViT-B/32")
+    # The reference probes RN50 features (lpclip/feat_extractor.py:145).
+    fe.add_argument("--backbone", default="RN50")
     fe.add_argument("--config-file", default="")
     fe.add_argument("--output-dir", required=True)
     fe.add_argument("--batch-size", type=int, default=128)

@@ -77,6 +77,12 @@ def get_cfg_default() -> CN:
     cfg.DATASET.MULTITASK = False
     cfg.DATASET.MULTITASK_LABEL_PERTASK = False
     cfg.DATASET.MULTITASK_EVALKEY = "average"
+    # Per-task metric overrides ("task=metric"). The reference scores
+    # hateful-memes with plain accuracy via its class_map_metric table
+    # (prompts.py:3249) although the ELEVATER leaderboard uses roc_auc;
+    # the bug-compatible table stays the default, this knob opts into
+    # e.g. ("hateful-memes=roc_auc",).
+    cfg.DATASET.METRIC_OVERRIDES = ()
 
     # ------------------------------------------------------------------ model
     cfg.MODEL = CN()

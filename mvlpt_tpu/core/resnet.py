@@ -107,3 +107,76 @@ def encode_image_rn(params: dict, images: jax.Array, cfg: RNConfig) -> jax.Array
             x = _bottleneck(x, block, stride if block_idx == 0 else 1)
     b, h, w, c = x.shape
     return attention_pool(x.reshape(b, h * w, c), params["attnpool"], cfg.heads)
+
+
+# Architecture table for the released RN checkpoints (inferable from
+# checkpoints via rn_config_from_state_dict; listed for random init).
+RN_ARCHS = {
+    "RN50": RNConfig(layers=(3, 4, 6, 3), output_dim=1024, width=64,
+                     input_resolution=224, heads=32),
+    "RN101": RNConfig(layers=(3, 4, 23, 3), output_dim=512, width=64,
+                      input_resolution=224, heads=32),
+}
+
+
+def init_rn_params(key: jax.Array, cfg: RNConfig) -> dict:
+    """Random-init the ModifiedResNet visual pytree (offline tests /
+    benchmarks; real runs convert OpenAI checkpoints). Shapes follow
+    checkpoint/convert.py:convert_openai_rn_state_dict; BN starts at
+    identity (mean 0 / var 1), conv kernels are He-normal."""
+    import numpy as np
+
+    rng = np.random.RandomState(
+        int(jax.random.randint(key, (), 0, 2**31 - 1)))
+
+    def conv(kh, kw, cin, cout):
+        std = (2.0 / (kh * kw * cin)) ** 0.5
+        return {"kernel": jnp.asarray(
+            rng.randn(kh, kw, cin, cout).astype(np.float32) * std)}
+
+    def bn(c):
+        return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+                "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+    def proj(cin, cout):
+        std = cin ** -0.5
+        return {"kernel": jnp.asarray(
+            rng.randn(cin, cout).astype(np.float32) * std),
+            "bias": jnp.zeros((cout,))}
+
+    w = cfg.width
+    visual = {
+        "stem": {
+            "conv1": conv(3, 3, 3, w // 2), "bn1": bn(w // 2),
+            "conv2": conv(3, 3, w // 2, w // 2), "bn2": bn(w // 2),
+            "conv3": conv(3, 3, w // 2, w), "bn3": bn(w),
+        },
+    }
+    inplanes = w
+    for b, n_blocks in zip((1, 2, 3, 4), cfg.layers):
+        planes = w * (2 ** (b - 1))
+        blocks = []
+        for i in range(n_blocks):
+            p = {
+                "conv1": conv(1, 1, inplanes if i == 0 else planes * 4, planes),
+                "bn1": bn(planes),
+                "conv2": conv(3, 3, planes, planes), "bn2": bn(planes),
+                "conv3": conv(1, 1, planes, planes * 4), "bn3": bn(planes * 4),
+            }
+            if i == 0:  # stride > 1 (layers 2-4) or channel change (layer 1)
+                p["downsample"] = {
+                    "conv": conv(1, 1, inplanes, planes * 4),
+                    "bn": bn(planes * 4),
+                }
+            blocks.append(p)
+        visual[f"layer{b}"] = blocks
+        inplanes = planes * 4
+    c = w * 32
+    spacial = cfg.input_resolution // 32
+    visual["attnpool"] = {
+        "pos_embedding": jnp.asarray(
+            rng.randn(spacial ** 2 + 1, c).astype(np.float32) * c ** -0.5),
+        "q_proj": proj(c, c), "k_proj": proj(c, c), "v_proj": proj(c, c),
+        "c_proj": proj(c, cfg.output_dim),
+    }
+    return visual

@@ -166,6 +166,19 @@ def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,
         seed=max(cfg.SEED, 0), drop_last=shuffle, multitask=multitask)
 
 
+def _metric_overrides(cfg) -> dict:
+    """Parse DATASET.METRIC_OVERRIDES ("task=metric" entries)."""
+    out = {}
+    for entry in cfg.DATASET.METRIC_OVERRIDES:
+        task, _, metric = str(entry).partition("=")
+        if not metric:
+            raise ValueError(
+                f"DATASET.METRIC_OVERRIDES entry {entry!r} is not "
+                "'task=metric'")
+        out[task] = metric
+    return out
+
+
 class ElevaterDataManager:
     """Single ELEVATER task (mvlpt.py:740-770 + feature.py:538-619)."""
 
@@ -175,8 +188,9 @@ class ElevaterDataManager:
         man = ev.load_task_manifest(
             root, task, train_set=cfg.DATASET.TRAIN_SET,
             val_set=cfg.DATASET.VAL_SET, test_set=cfg.DATASET.TEST_SET)
-        self._metric = get_metric(ev.class_map_metric(task))
-        self._metric_name = ev.class_map_metric(task)
+        overrides = _metric_overrides(cfg)
+        self._metric_name = overrides.get(task, ev.class_map_metric(task))
+        self._metric = get_metric(self._metric_name)
         names = ev.class_map(task)
         self._num_classes = len(names)
         self._lab2cname = {i: ev.first_classname(c) for i, c in enumerate(names)}
@@ -239,8 +253,10 @@ class ElevaterMultitaskDataManager:
         self._task_names = mt.task_names
         self._task2id = {t: i for i, t in enumerate(tasks)}
         self._id2task = dict(enumerate(tasks))
-        self._metric = {t: get_metric(ev.class_map_metric(t)) for t in tasks}
-        self._metric_name = {t: ev.class_map_metric(t) for t in tasks}
+        overrides = _metric_overrides(cfg)
+        self._metric_name = {
+            t: overrides.get(t, ev.class_map_metric(t)) for t in tasks}
+        self._metric = {t: get_metric(self._metric_name[t]) for t in tasks}
         self._labelmap = {t: ev.class_map(t) for t in tasks}
         self._task_class_idx = mt.task_class_idx()
         self._num_classes = mt.num_classes

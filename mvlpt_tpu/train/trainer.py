@@ -54,6 +54,19 @@ def load_clip_backbone(cfg, dtype):
     init (offline tests / benchmarks)."""
     name = cfg.MODEL.BACKBONE.NAME
     if os.environ.get("MVLPT_TPU_RANDOM_CLIP"):
+        if name.startswith("RN"):
+            from mvlpt_tpu.core.resnet import RN_ARCHS, init_rn_params
+
+            rn_cfg = RN_ARCHS[name]
+            # Text tower arch shared with ViT-B (RN50/101 use the same
+            # 512-wide 12-layer text transformer).
+            text_cfg = CLIPConfig.for_backbone("ViT-B/16")
+            full = clip_core.init_clip_params(jax.random.PRNGKey(1), text_cfg)
+            params = {
+                "visual": init_rn_params(jax.random.PRNGKey(0), rn_cfg),
+                "text": full["text"], "logit_scale": full["logit_scale"],
+            }
+            return clip_core.cast_backbone(params, dtype), rn_cfg
         clip_cfg = CLIPConfig.for_backbone(name)
         params = clip_core.init_clip_params(jax.random.PRNGKey(0), clip_cfg)
         return clip_core.cast_backbone(params, dtype), clip_cfg
