@@ -22,9 +22,9 @@ from mvlpt_tpu.data.datum import Datum
 
 
 def _load_image(impath: str) -> Image.Image:
-    img = Image.open(impath)
-    img.load()
-    return img
+    from mvlpt_tpu.data.zipio import open_image
+
+    return open_image(impath)  # plain path or zip@member reference
 
 
 class _TransformedDataset:
@@ -63,7 +63,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = False,
-                 multitask: bool = False):
+                 multitask: bool = False,
+                 host_shard: tuple[int, int] | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -72,6 +73,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.multitask = multitask
         self.epoch = 0
+        # Multi-host: (start, size) row range of each global batch this
+        # host decodes (parallel.local_batch_slice). The global order is
+        # identical on every host (same seed/epoch); only decode work is
+        # sharded. Requires drop_last (static full batches).
+        self.host_shard = host_shard
+        if host_shard is not None and not drop_last:
+            raise ValueError("host_shard requires drop_last=True "
+                             "(eval loaders run replicated, unsharded)")
 
     def __len__(self):
         n = len(self.dataset)
@@ -114,12 +123,18 @@ class DataLoader:
                 chunk = idxs[start : start + bs]
                 if len(chunk) < bs and self.drop_last:
                     break
+                if self.host_shard is not None:
+                    # augmentation rng keys on the GLOBAL index i, so the
+                    # decoded rows are identical to the single-host run
+                    s0, sz = self.host_shard
+                    chunk = chunk[s0 : s0 + sz]
                 if pool is not None:
                     rows = list(pool.map(fetch, chunk))
                 else:
                     rows = [fetch(i) for i in chunk]
                 n_valid = len(rows)
-                while len(rows) < bs:  # pad eval tail to static shape
+                target = bs if self.host_shard is None else self.host_shard[1]
+                while len(rows) < target:  # pad eval tail to static shape
                     rows.append(rows[-1])
                 imgs = np.stack([r[0] for r in rows]).astype(np.float32)
                 labels = np.asarray([r[1] for r in rows])
@@ -136,10 +151,18 @@ def build_data_loader(cfg, data_source, batch_size, tfm, is_train: bool,
                       multitask: bool = False, label_transform=None):
     """Dassl build_data_loader equivalent (mvlpt.py:661-720)."""
     ds = _TransformedDataset(data_source, tfm, label_transform)
+    host_shard = None
+    if is_train:
+        import jax
+
+        if jax.process_count() > 1:
+            from mvlpt_tpu.parallel import local_batch_slice
+
+            host_shard = local_batch_slice(batch_size)
     return DataLoader(
         ds, batch_size=batch_size, shuffle=is_train,
         num_workers=cfg.DATALOADER.NUM_WORKERS, seed=max(cfg.SEED, 0),
-        drop_last=is_train, multitask=multitask,
+        drop_last=is_train, multitask=multitask, host_shard=host_shard,
     )
 
 

@@ -1,6 +1,9 @@
 from mvlpt_tpu.parallel.multihost import (
     maybe_initialize_distributed,
     local_batch_slice,
+    global_batch_arrays,
+    put_tree_on_mesh,
+    allgather_tree,
 )
 from mvlpt_tpu.parallel.mesh import (
     DATA_AXIS,

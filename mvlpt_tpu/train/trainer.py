@@ -275,25 +275,50 @@ class PromptTrainer:
             self.mesh = create_mesh(
                 n_data, n_model,
                 devices=jax.devices()[: n_data * n_model])
-            self.backbone = shard_tree(
+            from mvlpt_tpu.parallel import put_tree_on_mesh
+
+            # correct under multi-host too (callback-placed shards)
+            self.backbone = put_tree_on_mesh(
                 self.backbone, backbone_partition_specs(self.backbone),
                 self.mesh)
             print(f"mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
 
-    def _device_batch(self, batch: dict) -> dict:
-        arrays = {k: jnp.asarray(v) for k, v in batch.items()
+    def _device_batch(self, batch: dict, train: bool = True) -> dict:
+        """Place one host batch onto device(s).
+
+        Multi-host (jax.process_count() > 1): train batches arrive as
+        this host's ``local_batch_slice`` rows (loader.host_shard) and
+        are assembled into global arrays; eval batches arrive full on
+        every host (replicated eval, parallel/multihost.py docstring).
+        """
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()
+                    if k in ("image", "label", "task")}
+
+        import numpy as np
+
+        from mvlpt_tpu.parallel import (
+            batch_specs, global_batch_arrays, put_tree_on_mesh,
+            replicated_specs)
+
+        arrays = {k: np.asarray(v) for k, v in batch.items()
                   if k in ("image", "label", "task")}
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from mvlpt_tpu.parallel import batch_specs, shard_tree
-
-            n_data = self.mesh.devices.shape[0]
-            if arrays["image"].shape[0] % n_data == 0:
-                return shard_tree(arrays, batch_specs(arrays), self.mesh)
-            repl = NamedSharding(self.mesh, P())
-            return {k: jax.device_put(v, repl) for k, v in arrays.items()}
-        return arrays
+        n_data = self.mesh.devices.shape[0]
+        n_proc = jax.process_count()
+        local_rows = arrays["image"].shape[0]
+        if train and n_proc > 1:
+            return global_batch_arrays(
+                arrays, batch_specs(arrays), self.mesh,
+                global_batch=local_rows * n_proc)
+        if local_rows % n_data == 0:
+            if n_proc == 1:
+                return global_batch_arrays(
+                    arrays, batch_specs(arrays), self.mesh,
+                    global_batch=local_rows)
+            # eval under multi-host: every host holds the full batch;
+            # callback placement shards rows without duplicating them
+            return put_tree_on_mesh(arrays, batch_specs(arrays), self.mesh)
+        return put_tree_on_mesh(arrays, replicated_specs(arrays), self.mesh)
 
     # ------------------------------------------------------------------ train
     def train(self):
@@ -356,7 +381,7 @@ class PromptTrainer:
         batch = {"image": images}
         if tasks is not None:
             batch["task"] = tasks
-        batch = self._device_batch(batch)
+        batch = self._device_batch(batch, train=False)
         return self.eval_step(self.backbone, self.state.prompt_params,
                               self.consts, batch)
 

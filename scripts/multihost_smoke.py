@@ -1,0 +1,86 @@
+"""Multi-host smoke test — run ONE copy per host on a multi-host TPU
+slice (or multi-process CPU ring):
+
+    # host i of N:
+    JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=N \
+        JAX_PROCESS_ID=i python scripts/multihost_smoke.py
+
+Validates the full multi-host contract end-to-end (what the sandboxed
+CI cannot — see tests/test_multihost.py): distributed init, global
+("data","model") mesh over all hosts' devices, per-host batch rows
+assembled with jax.make_array_from_process_local_data, one jitted SPMD
+train step, and a cross-host metrics allgather.
+"""
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from mvlpt_tpu.parallel import (
+        allgather_tree, batch_specs, create_mesh, global_batch_arrays,
+        local_batch_slice, maybe_initialize_distributed, put_tree_on_mesh,
+        backbone_partition_specs)
+
+    if not maybe_initialize_distributed():
+        jax.distributed.initialize()
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    print(f"[{pid}] {n_proc} processes, {len(jax.devices())} global / "
+          f"{len(jax.local_devices())} local devices", flush=True)
+
+    import jax.numpy as jnp
+
+    from mvlpt_tpu.config import get_cfg_default
+    from mvlpt_tpu.core.clip import CLIPConfig, init_clip_params
+    from mvlpt_tpu.models.custom_clip import MVLPTModel
+    from mvlpt_tpu.prompts import (
+        PromptSpec, build_prompt_consts, init_prompt_params)
+    from mvlpt_tpu.train.optim import build_optimizer
+    from mvlpt_tpu.train.train_step import init_train_state, make_train_step
+
+    clip_cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, transformer_width=64, transformer_heads=2,
+        transformer_layers=2, vision_heads_override=2)
+    backbone = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    spec = PromptSpec(
+        n_cls=8, coop_n_ctx=2, vpt_n_ctx=2, vpt_deep=True,
+        class_token_position="middle", project_method="transformer",
+        project_dim=16, context_length=8, vision_layers=2, vision_width=64,
+        text_width=64, embed_dim=32, vision_patch_size=8)
+    prompt_params = init_prompt_params(jax.random.PRNGKey(1), spec)
+    consts = build_prompt_consts(
+        [f"c{i}" for i in range(8)], spec, backbone, jnp.float32)
+    model = MVLPTModel(clip_cfg=clip_cfg, spec=spec, compute_dtype=jnp.float32)
+    cfg = get_cfg_default()
+    tx, _ = build_optimizer(cfg.OPTIM, steps_per_epoch=1)
+    state = init_train_state(prompt_params, tx)
+    step = make_train_step(model, tx, donate=False)
+
+    mesh = create_mesh(n_data=len(jax.devices()), n_model=1)
+    global_batch = len(jax.devices()) * 2
+    start, size = local_batch_slice(global_batch)
+    rng = np.random.RandomState(0)  # identical on all hosts
+    gimages = rng.randn(global_batch, 32, 32, 3).astype(np.float32)
+    glabels = rng.randint(0, 8, global_batch)
+    local = {"image": gimages[start:start + size],
+             "label": glabels[start:start + size]}
+
+    with mesh:
+        bb = put_tree_on_mesh(backbone, backbone_partition_specs(backbone),
+                              mesh)
+        batch = global_batch_arrays(local, batch_specs(local), mesh,
+                                    global_batch)
+        state, metrics = step(state, bb, consts, batch, jax.random.PRNGKey(0))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    gathered = allgather_tree(np.array([loss], np.float32))
+    assert np.allclose(gathered, loss), gathered  # same loss on every host
+    print(f"[{pid}] OK loss={loss:.4f} (allgather agrees across "
+          f"{n_proc} hosts)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
