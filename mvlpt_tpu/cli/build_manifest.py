@@ -1,13 +1,24 @@
 """Build a local ELEVATER manifest from common dataset layouts.
 
 The reference streams ELEVATER tasks from the Azure ``vision_datasets``
-hub; this framework consumes offline manifests (docs/DATASETS.md). This
-tool generates them from:
+hub (feature.py:555-567); this framework consumes offline manifests
+(docs/DATASETS.md). This tool generates them from:
 
+  * a verbatim ``vision_datasets`` hub dump: ``vision_datasets.json``
+    registry + per-task ``root_folder`` with split index files whose
+    rows reference zip-backed images (``train.zip@1.jpg label[,label]``
+    — the hub's "iris" classification format; the registry schema is
+    mirrored at trainers/vision_benchmark/resources/datasets/
+    vision_datasets.json in the reference). Images stay inside the
+    zips — the input pipeline reads them via data/zipio.py.
   * an ImageFolder tree:  <src>/{train,test}/<class>/*.jpg
   * an index TSV per split: `relative/path.jpg<TAB>label[,label...]`
 
 Usage:
+    # hub dump (src contains vision_datasets.json):
+    python -m mvlpt_tpu.cli.build_manifest --src /data/hub_dump \\
+        --task voc-2007-classification --root /data/elevater
+    # ImageFolder / TSV:
     python -m mvlpt_tpu.cli.build_manifest --src /data/raw/cifar10 \\
         --task cifar-10 --root /data/elevater [--multilabel]
 """
@@ -58,15 +69,98 @@ def from_index_tsv(src: str, splits=("train", "test")):
     return rows, n_classes
 
 
+def find_hub_registry(src: str) -> str | None:
+    """Locate a vision_datasets registry json under a hub dump root."""
+    for name in ("vision_datasets.json",
+                 os.path.join("resources", "datasets", "vision_datasets.json")):
+        path = os.path.join(src, name)
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def from_hub(src: str, registry_path: str, task: str):
+    """Convert one task of a vision_datasets hub dump.
+
+    Registry entries carry root_folder + per-split {index_path,
+    files_for_local_usage}; index rows are the hub's "iris" format:
+    ``<zip>@<member> <label>`` (multiclass) or ``... <l0,l1,...>``
+    (multilabel). Returns (rows, num_classes, dataset_type,
+    root_folder_abs).
+    """
+    with open(registry_path) as f:
+        registry = json.load(f)
+    entries = [e for e in registry if e.get("name") == task]
+    if not entries:
+        names = sorted(e.get("name", "?") for e in registry)
+        raise SystemExit(
+            f"task {task!r} not in registry {registry_path} "
+            f"(available: {', '.join(names)})")
+    entry = max(entries, key=lambda e: e.get("version", 0))
+    root_folder = os.path.join(src, entry.get("root_folder", ""))
+    if not os.path.isdir(root_folder):
+        raise SystemExit(f"hub root_folder missing on disk: {root_folder}")
+
+    rows = {}
+    for split in ("train", "val", "test"):
+        info = entry.get(split)
+        if not info:
+            continue
+        index_path = os.path.join(root_folder, info["index_path"])
+        if not os.path.exists(index_path):
+            raise SystemExit(f"index file missing: {index_path}")
+        split_rows = []
+        with open(index_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                img_ref, label_str = line.rsplit(maxsplit=1)
+                labels = [int(x) for x in label_str.split(",")]
+                split_rows.append([img_ref, labels])
+        want = info.get("num_images")
+        if want is not None and want != len(split_rows):
+            print(f"warning: {task}/{split}: registry says {want} images, "
+                  f"index has {len(split_rows)}")
+        rows[split] = split_rows
+    n_classes = entry.get("num_classes", 0)
+    if not n_classes:
+        n_classes = 1 + max(l for r in rows.values() for _, ls in r for l in ls)
+    return rows, n_classes, entry.get("type", "classification_multiclass"), \
+        root_folder
+
+
 def cli():
     p = argparse.ArgumentParser()
-    p.add_argument("--src", required=True, help="source dataset directory")
+    p.add_argument("--src", required=True, help="source dataset directory "
+                   "(hub dump root, ImageFolder tree, or TSV directory)")
     p.add_argument("--task", required=True, help="ELEVATER task name")
     p.add_argument("--root", required=True, help="manifest output root")
+    p.add_argument("--registry", default=None,
+                   help="vision_datasets.json path (default: auto-detect "
+                        "under --src)")
     p.add_argument("--multilabel", action="store_true")
     p.add_argument("--link", action="store_true",
                    help="symlink images instead of referencing src in place")
     args = p.parse_args()
+
+    registry = args.registry or find_hub_registry(args.src)
+    if registry:
+        rows, n_classes, dtype, root_folder = from_hub(
+            args.src, registry, args.task)
+        task_dir = os.path.join(args.root, args.task)
+        os.makedirs(task_dir, exist_ok=True)
+        rel = os.path.relpath(os.path.abspath(root_folder), task_dir)
+        rows = {s: [[os.path.join(rel, p_), l] for p_, l in r]
+                for s, r in rows.items()}
+        manifest = {"type": dtype, "num_classes": n_classes, "splits": rows}
+        out = os.path.join(task_dir, "manifest.json")
+        with open(out, "w") as f:
+            json.dump(manifest, f)
+        print(f"wrote {out} (hub format): " + ", ".join(
+            f"{s}={len(r)}" for s, r in rows.items()) +
+            f", {n_classes} classes")
+        return
 
     rows, n_from_folders = from_image_folder(args.src)
     if not rows:

@@ -57,9 +57,27 @@ def _build_dataset(paths, labels, domains, *, train, batch_size, size,
     if shuffle if shuffle is not None else train:
         ds = ds.shuffle(n, seed=seed, reshuffle_each_iteration=True)
 
+    from mvlpt_tpu.data.zipio import is_zip_path, read_bytes
+
+    # zip@member refs (hub-format manifests) can't go through
+    # tf.io.read_file; route those datasets through a numpy_function
+    # reader (decode still happens in tf, so the cost is one host hop).
+    has_zip = any(is_zip_path(str(p)) for p in paths)
+
+    def _np_read(p):
+        p = p.decode() if isinstance(p, bytes) else str(p)
+        if is_zip_path(p):
+            return read_bytes(p)
+        with open(p, "rb") as f:
+            return f.read()
+
     def decode(rec):
-        img = tf.io.decode_image(
-            tf.io.read_file(rec["path"]), channels=3, expand_animations=False)
+        if has_zip:
+            raw = tf.numpy_function(_np_read, [rec["path"]], tf.string)
+            raw.set_shape([])
+        else:
+            raw = tf.io.read_file(rec["path"])
+        img = tf.io.decode_image(raw, channels=3, expand_animations=False)
         img.set_shape([None, None, 3])
         return rec, img
 
