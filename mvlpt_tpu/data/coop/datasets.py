@@ -529,6 +529,61 @@ class ImageNet21k(DatasetBase):
 
 @DATASET_REGISTRY.register()
 class Bamboo(ImageNet21k):
-    """datasets/bamboo.py — same folder-tree flow over the Bamboo dump."""
+    """datasets/bamboo.py:17-78 faithful flow over a real Bamboo dump:
+    classnames come from ``bamboo_id_map_sample.json`` (folder id ->
+    name, lists collapsed to their first entry, bamboo.py:80-101),
+    images live at ``<root>/images`` (the reference hardcodes root as
+    the dataset dir, bamboo.py:27-30), the 80/20 split is cached in
+    ``preprocessed.pkl`` and few-shot subsets in ``split_fewshot/`` —
+    caches written by the reference (Dassl Datum pickles) load via the
+    tolerant unpickler."""
 
     dataset_dir = "bamboo"
+
+    def __init__(self, cfg):
+        import json
+        import pickle
+
+        from mvlpt_tpu.data.datum import load_foreign_pickle
+
+        root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT))
+        ddir = os.path.join(root, type(self).dataset_dir)
+        self.dataset_dir = ddir if os.path.isdir(ddir) else root
+        image_dir = os.path.join(self.dataset_dir, "images")
+        self.image_dir = image_dir if os.path.isdir(image_dir) \
+            else self.dataset_dir
+
+        preprocessed = os.path.join(self.dataset_dir, "preprocessed.pkl")
+        if os.path.exists(preprocessed):
+            data = load_foreign_pickle(preprocessed)
+            train = DatasetBase._coerce_items(data["train"])
+            test = DatasetBase._coerce_items(data["test"])
+        else:
+            id_map = os.path.join(self.dataset_dir,
+                                  "bamboo_id_map_sample.json")
+            if os.path.exists(id_map):
+                with open(id_map) as f:
+                    raw = json.load(f)
+                new_cnames = {k: (v[0] if isinstance(v, list) else v)
+                              for k, v in raw.items()}
+            else:  # classnames.txt fallback (shared with ImageNet21k)
+                cn_file = os.path.join(self.dataset_dir, "classnames.txt")
+                new_cnames = read_wnid_classnames(cn_file) \
+                    if os.path.exists(cn_file) else None
+            train, test, _ = read_and_split_image_folder(
+                self.image_dir, p_trn=0.8, p_val=0.2,
+                new_cnames=new_cnames)
+            with open(preprocessed, "wb") as f:
+                pickle.dump({"train": train, "test": test}, f,
+                            protocol=pickle.HIGHEST_PROTOCOL)
+
+        num_shots = cfg.DATASET.NUM_SHOTS
+        if num_shots >= 1:
+            fewshot_dir = os.path.join(self.dataset_dir, "split_fewshot")
+            train, _ = DatasetBase.load_fewshot_cached(
+                fewshot_dir, num_shots, cfg.SEED,
+                lambda: (DatasetBase.generate_fewshot_dataset(
+                    train, num_shots, seed=cfg.SEED), []))
+        train, test = DatasetBase.subsample_classes(
+            train, test, subsample=cfg.DATASET.SUBSAMPLE_CLASSES)
+        DatasetBase.__init__(self, train_x=train, val=test, test=test)

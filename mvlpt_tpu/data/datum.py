@@ -28,6 +28,55 @@ class Datum:
     domain: int = 0
 
 
+class _ForeignDatum:
+    """Stand-in for Dassl's Datum in foreign pickles (reference caches
+    store dassl.data.datasets.base_dataset.Datum with _impath/_label/
+    _domain/_classname attributes; dassl itself is not installed here)."""
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+
+    def _get(self, name, default=None):
+        d = self.__dict__
+        return d.get(name, d.get("_" + name, default))
+
+    @property
+    def impath(self):
+        return self._get("impath")
+
+    @property
+    def label(self):
+        return self._get("label", 0)
+
+    @property
+    def classname(self):
+        return self._get("classname", "")
+
+    @property
+    def domain(self):
+        return self._get("domain", 0)
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Unpickle reference-written caches without their class imports:
+    any unresolvable *.Datum maps to _ForeignDatum."""
+
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            if name == "Datum":
+                return _ForeignDatum
+            raise
+
+
+def load_foreign_pickle(path: str):
+    """pickle.load that tolerates Dassl Datum references in the stream."""
+    with open(path, "rb") as f:
+        return _TolerantUnpickler(f).load()
+
+
 class DatasetBase:
     """A train/val/test triple of Datum lists with derived metadata."""
 
@@ -146,20 +195,19 @@ class DatasetBase:
         oxford_pets.py:33-49 (split_fewshot/shot_{n}-seed_{s}.pkl).
 
         Caches written by the reference contain Dassl Datum objects and
-        (for ImageNet) may lack the 'val' key; those load when Dassl is
-        importable (fields are copied) and otherwise fall back to a
-        fresh (seeded, deterministic) rebuild without overwriting the
-        foreign cache file."""
+        (for ImageNet) may lack the 'val' key; the tolerant unpickler
+        shims those (fields are copied), and anything else unreadable
+        falls back to a fresh (seeded, deterministic) rebuild without
+        overwriting the foreign cache file."""
         os.makedirs(preprocessed_dir, exist_ok=True)
         path = os.path.join(preprocessed_dir, f"shot_{num_shots}-seed_{seed}.pkl")
         if os.path.exists(path):
             try:
-                with open(path, "rb") as f:
-                    data = pickle.load(f)
+                data = load_foreign_pickle(path)
                 train = DatasetBase._coerce_items(data["train"])
                 val = DatasetBase._coerce_items(data.get("val", []))
                 return train, val
-            except Exception as e:  # foreign pickle (e.g. needs dassl)
+            except Exception as e:  # unreadable foreign pickle
                 print(f"Could not load few-shot cache {path} ({e!r}); "
                       "rebuilding deterministically")
                 return build_fn()

@@ -174,7 +174,16 @@ def load_task_manifest(root: str, task: str, train_set: str = "train",
 def sample_few_shot_subset(items: list[ElevaterItem], shots: int, seed: int,
                            num_classes: int) -> list[ElevaterItem]:
     """Per-class few-shot sampling; multilabel items count toward every
-    class they carry (vision_datasets' greedy semantics)."""
+    class they carry (vision_datasets' greedy semantics).
+
+    PROTOCOL-equal, not SUBSET-equal, to the hub library: the same
+    greedy any-class-under-quota rule over a seeded shuffle, but
+    ``random.Random(seed)`` here is a different RNG stream than
+    ``vision_datasets.sample_few_shot_subset``'s, so a given (task,
+    shots, seed) picks a different concrete subset than a reference run
+    — per-seed numbers are not comparable run-for-run against reference
+    logs; seed-averaged results are (both follow the same protocol).
+    Deterministic within this framework."""
     if shots is None or shots <= 0:
         return list(items)
     rng = random.Random(seed)

@@ -6,10 +6,13 @@ TPU-native equivalent is a tf.data pipeline: multithreaded JPEG decode,
 crop/resize/flip and normalization in TensorFlow's C++ runtime, with
 deterministic stateless augmentation seeded per (seed, epoch, index).
 
-Preprocessing semantics match data/transforms.py (and therefore the
-reference):
-  * train: random-resized-crop scale 0.08-1.0, ratio 3/4-4/3, bicubic,
-    random horizontal flip, CLIP normalization;
+Preprocessing semantics vs data/transforms.py (and the reference):
+  * train: random-resized-crop implements torchvision's 10-try
+    rejection sampler (uniform area in scale 0.08-1.0, log-uniform
+    ratio 3/4-4/3, clamped-aspect center-crop fallback) in tf ops —
+    the same crop DISTRIBUTION as the PIL path, though individual
+    draws differ (independent RNG streams); then bicubic resize,
+    random horizontal flip, CLIP normalization.
   * eval: shorter-side bicubic resize + center crop (or plain warp for
     the ELEVATER non-center-crop mode).
 tf bicubic (antialias) is not bit-identical to PIL bicubic; agreement is
@@ -33,6 +36,44 @@ def available() -> bool:
         return True
     except ImportError:
         return False
+
+
+def rrc_params(h, w, seeds, scale=(0.08, 1.0), ratio=(0.75, 4.0 / 3.0)):
+    """torchvision RandomResizedCrop.get_params in tf ops: 10
+    rejection-sampled (uniform-area scale, log-uniform ratio)
+    candidates, first valid wins; clamped-aspect center crop as the
+    fallback — the same DISTRIBUTION as
+    data/transforms.py:_sample_crop (individual draws differ: the two
+    backends use independent RNG streams). Returns (y, x, ch, cw) int32
+    scalars for an (h, w) image."""
+    import tensorflow as tf
+
+    log_r0, log_r1 = float(np.log(ratio[0])), float(np.log(ratio[1]))
+    area = w * h
+    u = tf.random.stateless_uniform([10, 4], seeds)
+    target = area * (scale[0] + u[:, 0] * (scale[1] - scale[0]))
+    ar = tf.exp(log_r0 + u[:, 1] * (log_r1 - log_r0))
+    cw = tf.round(tf.sqrt(target * ar))
+    ch = tf.round(tf.sqrt(target / ar))
+    valid = (cw > 0.0) & (cw <= w) & (ch > 0.0) & (ch <= h)
+    idx = tf.argmax(tf.cast(valid, tf.int32))
+    cw_i, ch_i = cw[idx], ch[idx]
+    # uniform integer positions in [0, w-cw] x [0, h-ch]
+    x_i = tf.floor(u[idx, 2] * (w - cw_i + 1.0))
+    y_i = tf.floor(u[idx, 3] * (h - ch_i + 1.0))
+    # fallback: center crop at clamped aspect
+    in_ratio = w / h
+    fb_w = tf.where(in_ratio < ratio[0], w,
+                    tf.where(in_ratio > ratio[1], tf.round(h * ratio[1]), w))
+    fb_h = tf.where(in_ratio < ratio[0], tf.round(w / ratio[0]),
+                    tf.where(in_ratio > ratio[1], h, h))
+    any_valid = tf.reduce_any(valid)
+    cw_i = tf.where(any_valid, cw_i, fb_w)
+    ch_i = tf.where(any_valid, ch_i, fb_h)
+    x_i = tf.where(any_valid, x_i, tf.floor((w - fb_w) / 2.0))
+    y_i = tf.where(any_valid, y_i, tf.floor((h - fb_h) / 2.0))
+    to_i = lambda v: tf.cast(v, tf.int32)  # noqa: E731
+    return to_i(y_i), to_i(x_i), to_i(ch_i), to_i(cw_i)
 
 
 def _build_dataset(paths, labels, domains, *, train, batch_size, size,
@@ -83,16 +124,10 @@ def _build_dataset(paths, labels, domains, *, train, batch_size, size,
 
     def train_map(rec, img):
         seeds = tf.stack([tf.cast(rec["index"], tf.int32) + seed, seed])
-        bbox, bsize, _ = tf.image.stateless_sample_distorted_bounding_box(
-            tf.shape(img),
-            bounding_boxes=tf.zeros([0, 0, 4], tf.float32),
-            seed=seeds,
-            min_object_covered=0.0,
-            aspect_ratio_range=ratio,
-            area_range=scale,
-            max_attempts=10,
-            use_image_if_no_bounding_boxes=True)
-        img = tf.slice(img, bbox, bsize)
+        shape = tf.cast(tf.shape(img)[:2], tf.float32)
+        y, x, ch_i, cw_i = rrc_params(shape[0], shape[1], seeds,
+                                      scale=scale, ratio=ratio)
+        img = tf.slice(img, [y, x, 0], [ch_i, cw_i, 3])
         img = tf.image.resize(img, (size_t, size_t), method="bicubic",
                               antialias=True)
         img = tf.image.stateless_random_flip_left_right(img, seeds)

@@ -7,6 +7,19 @@ mean-per-class/balanced accuracy, 11-point mAP, roc_auc) plus the
 commonly used members of the evaluator zoo (top-k, threshold accuracy,
 F1, average precision, tag-wise accuracy, ECE).
 
+Deliberately NOT implemented — evaluators in the reference zoo that no
+MVLPT/ELEVATER code path can reach (nothing imports them outside
+metrics.py itself; get_metric never returns them, and the 25-task
+metadata only names accuracy/mean-per-class/11point_mAP/roc_auc):
+  * detection mAP: MeanAveragePrecisionEvaluatorForSingleIOU (:565),
+    ...ForMultipleIOUs (:692), CocoMeanAveragePrecisionEvaluator (:704)
+  * captioning: Bleu/METEOR/ROUGEL/CIDEr/SPICE evaluators (:935-989)
+  * matting: MeanIOU/ForegroundIOU/BoundaryMeanIOU/
+    BoundaryForegroundIOU/L1Error evaluators (:990-1162)
+  * GroupWiseEvaluator (:1163), MeanLpErrorEvaluator (:1211)
+Requesting one of these names raises KeyError from get_metric below,
+the same failure the reference produces for names outside its table.
+
 All functions take (y_true, y_pred) where y_pred is (N, C) scores and
 y_true is (N,) int labels or (N, C) {0,1} indicators, matching how the
 MVLPT test loop feeds them (mvlpt.py:1047-1061).

@@ -87,3 +87,48 @@ def test_train_loader_deterministic_per_seed(cfg, tmp_path):
     bb = next(iter(b.train_loader_x))
     np.testing.assert_array_equal(ba["label"], bb["label"])
     np.testing.assert_allclose(ba["image"], bb["image"], rtol=1e-6)
+
+
+def test_train_rrc_matches_torchvision_distribution():
+    """The tf RRC sampler must draw from torchvision's rejection-sampler
+    distribution (data/transforms.py:_sample_crop), not tf's
+    sample_distorted_bounding_box. Compare crop area/aspect moments of
+    the REAL tf sampler (tfdata.rrc_params) against the PIL path over
+    many draws on a rectangular image."""
+    import random
+
+    from mvlpt_tpu.data.tfdata import rrc_params
+    from mvlpt_tpu.data.transforms import TrainTransform
+
+    h, w, n = 48, 64, 400
+    tt = TrainTransform(size=16)
+    pil_areas, pil_ars = [], []
+    for i in range(n):
+        x, y, cw, ch = tt._sample_crop(w, h, random.Random(i))
+        pil_areas.append(cw * ch / (w * h))
+        pil_ars.append(cw / ch)
+
+    areas, ars = [], []
+    for i in range(n):
+        y, x, ch, cw = rrc_params(float(h), float(w), tf.stack([i, 0]))
+        y, x, ch, cw = (int(v) for v in (y, x, ch, cw))
+        assert 0 <= x and x + cw <= w and 0 <= y and y + ch <= h
+        assert cw > 0 and ch > 0
+        areas.append(cw * ch / (w * h))
+        ars.append(cw / ch)
+
+    assert abs(np.mean(areas) - np.mean(pil_areas)) < 0.05
+    assert abs(np.std(areas) - np.std(pil_areas)) < 0.05
+    assert abs(np.mean(ars) - np.mean(pil_ars)) < 0.08
+
+
+def test_rrc_fallback_center_crop_extreme_aspect():
+    """A 10x300 strip rejects all candidates -> clamped-aspect center
+    crop (torchvision fallback semantics)."""
+    from mvlpt_tpu.data.tfdata import rrc_params
+
+    h, w = 10.0, 300.0
+    y, x, ch, cw = rrc_params(h, w, tf.stack([7, 0]))
+    ch, cw = int(ch), int(cw)
+    assert ch == 10 and cw == round(10 * 4 / 3)  # ratio clamped to 4/3
+    assert int(x) == (300 - cw) // 2 and int(y) == 0
