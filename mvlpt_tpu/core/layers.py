@@ -155,6 +155,10 @@ def residual_block(
     mask: jax.Array | None = None,
     attn_fn: Callable | None = None,
 ) -> jax.Array:
+    if attn_fn is not None and getattr(attn_fn, "fused_block", False):
+        from mvlpt_tpu.ops import block as block_ops
+
+        return block_ops.fused_residual_block(x, p, n_heads, mask)
     x = x + attention(layer_norm(x, p["ln_1"]), p["attn"], n_heads, mask, attn_fn)
     x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
     return x

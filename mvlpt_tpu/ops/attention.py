@@ -274,9 +274,30 @@ def select_attn_fn(use_pallas: str | bool = "auto",
     backward loses more than that (image fwd+bwd 28.3 vs 26.8 ms; the
     probability tensors fit HBM comfortably at CLIP scale, so XLA's
     stored-probs backward is cheaper than flash-style recompute).
-    'auto' therefore keeps the XLA path for training; 'on' forces the
-    kernel — appropriate for inference-heavy or memory-bound regimes
-    (longer sequences / bigger batches where (B,H,S,S) no longer fits)."""
+    'block' selects the fused residual-block kernels (ops/block.py):
+    whole LN→QKV→MHA→proj and LN→MLP half-blocks as single Pallas
+    programs with hand-derived backward kernels — measured 27.6 →
+    20.6 ms/step on the flagship UPT config (v5e), so 'auto' now
+    selects them on a single TPU device. Under a multi-device mesh
+    'auto' falls back to the XLA path: pallas_call under GSPMD needs
+    explicit partitioning the kernels don't declare yet. 'on' forces
+    the standalone fused-attention kernel (wins fwd only; kept for
+    inference-heavy regimes)."""
+    if use_pallas == "block":
+        from mvlpt_tpu.ops import block as block_ops
+
+        return block_ops.FUSED
     if use_pallas in (True, "on", "1"):
         return pallas_attention
+    if use_pallas == "auto":
+        import jax
+
+        from mvlpt_tpu.ops import block as block_ops
+
+        try:
+            single = len(jax.devices()) == 1
+        except RuntimeError:
+            single = False
+        if single and block_ops.available():
+            return block_ops.FUSED
     return None

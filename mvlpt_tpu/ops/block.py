@@ -1,0 +1,440 @@
+"""Fused transformer residual-block Pallas kernels.
+
+Profiling the ViT-B/16 UPT step on the real chip (see BASELINE.md perf
+notes) showed the matmuls already run at ~MXU peak (~7.5 ms of a
+25.9 ms step) while the other ~18 ms is latency-bound VPU/HBM soup:
+fp32 LayerNorm stat reductions (~5.5 ms), elementwise (B,S,W) fusions
+(residuals, normalize-applies, epilogues, ~5.9 ms), pure layout copies
+for the attention head split (~2.9 ms), and fp32 softmax round-trips
+(~2.4 ms). XLA cannot fuse across those op boundaries; these kernels
+can — each half-block (LN1→QKV→MHA→out-proj→+residual, and
+LN2→MLP→+residual) becomes ONE Pallas program per image with all
+intermediates VMEM-resident.
+
+Replaces the hot path of the reference's ResidualAttentionBlock
+(/root/reference/clip/model.py:167-188) rather than translating it.
+
+Mosaic shape discipline: lane-dimension splits (e.g. reshaping the
+(S, 3W) QKV output into heads) do not lower, so the attention kernel
+works TRANSPOSED: one full-width projection (3W, W) @ (S, W)^T ->
+(3W, S) puts the heads on the SUBLANE axis (64-row slabs Mosaic slices
+freely), per-head score/context dots run on (D, S) slabs, the softmax
+and its VJP batch across all heads in a single fp32 VPU pass between
+two statically-unrolled MXU loops, and the out-projection/dxh are
+single full-width dots over VMEM scratch accumulators.
+
+Backward (custom VJP): hand-derived kernels with the same fusion
+boundaries. Residuals saved: per-head q/k/v + compute-dtype
+probabilities + the MLP pre-activation (the same footprint XLA's
+autodiff keeps) plus tiny per-row mu/rstd. The frozen backbone means
+NO weight gradients are needed — bwd computes dx only; the zero weight
+cotangents returned to JAX are constants that XLA folds away.
+
+Numerics contract is unchanged from core/layers.py: LN stats and
+softmax in fp32, matmuls accumulate fp32 on the MXU, activations in
+the compute dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu importable only on TPU-enabled jaxlibs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+
+class _FusedMarker:
+    """Sentinel passed as ``attn_fn`` to select the fused-block path
+    (checked by core.layers.residual_block via the fused_block attr)."""
+
+    fused_block = True
+
+    def __repr__(self):  # pragma: no cover
+        return "<fused-block kernels>"
+
+
+FUSED = _FusedMarker()
+
+_EPS = 1e-5
+
+
+def _pick_g(b: int, cap: int = 1) -> int:
+    """Images per grid program (measured on v5e: g=1 beats g=4 —
+    20.6 vs 21.2 ms/step — the per-program overhead is already hidden
+    by Mosaic pipelining and larger g only grows VMEM pressure)."""
+    for g in range(min(b, cap), 0, -1):
+        if b % g == 0:
+            return g
+    return 1
+
+
+def _interpret() -> bool:
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except RuntimeError:
+        return True
+
+
+def _ln2d(x32, scale32, bias32, eps):
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xh = (x32 - mu) * rstd * scale32 + bias32
+    return xh, mu, rstd
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _row3(g, s, w):
+    return pl.BlockSpec((g, s, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full(*shape):
+    n = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * n, memory_space=pltpu.VMEM)
+
+
+# --------------------------------------------------------------- attn block
+
+def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
+                     wout_ref, bout_ref, *rest,
+                     n_heads, eps, g_imgs, has_mask):
+    if has_mask:
+        mask_ref = rest[0]
+        rest = rest[1:]
+    y_ref, qkvt_ref, p_ref, mu_ref, rstd_ref, ot_scr, sc_scr = rest
+    lns32 = lns_ref[...].astype(jnp.float32)
+    lnb32 = lnb_ref[...].astype(jnp.float32)
+    bqkv32 = bqkv_ref[...].astype(jnp.float32)
+    bout32 = bout_ref[...].astype(jnp.float32)
+    for gi in range(g_imgs):
+        x = x_ref[gi]                                  # (S, W)
+        s, w = x.shape
+        h_n = n_heads
+        d = w // h_n
+        dtype = x.dtype
+        scale = d ** -0.5
+
+        xh32, mu, rstd = _ln2d(x.astype(jnp.float32), lns32, lnb32, eps)
+        mu_ref[gi] = mu
+        rstd_ref[gi] = rstd
+        xh = xh32.astype(dtype)
+
+        # ONE full-width projection, transposed: (3W, W) @ (S, W)^T ->
+        # (3W, S). Heads then live on the SUBLANE axis (64-row slabs),
+        # which Mosaic slices freely — lane-axis head splits don't lower.
+        qkvt = (_dot(w3_ref[...], xh, ((1,), (1,))) + bqkv32).astype(dtype)
+        qkvt_ref[gi] = qkvt
+
+        # MXU loop 1: all score matrices (back-to-back MXU work);
+        # the softmax scale rides on q (D rows, not S*S logits)
+        for h in range(h_n):
+            qt = (qkvt[h * d:(h + 1) * d].astype(jnp.float32)
+                  * scale).astype(dtype)               # (D, S)
+            kt = qkvt[w + h * d:w + (h + 1) * d]
+            sc_scr[h] = _dot(qt, kt, ((0,), (0,)))      # (S, S) f32
+        # One batched fp32 softmax over every head (long VPU run)
+        logits = sc_scr[...]
+        if has_mask:
+            logits = logits + mask_ref[...][None]
+        p_all = jax.nn.softmax(logits, axis=-1).astype(dtype)
+        p_ref[gi] = p_all
+        # MXU loop 2: o^T = v^T @ p^T per head
+        for h in range(h_n):
+            vt = qkvt[2 * w + h * d:2 * w + (h + 1) * d]
+            ot_scr[h * d:(h + 1) * d, :] = _dot(
+                vt, p_all[h], ((1,), (1,))).astype(dtype)
+        # out-proj in ONE dot
+        y = _dot(ot_scr[...], wout_ref[...], ((0,), (0,))) + bout32
+        y_ref[gi] = x + y.astype(dtype)
+
+
+def _attn_bwd_kernel(x_ref, mu_ref, rstd_ref, qkvt_ref, p_ref,
+                     lns_ref, w3_ref, wout_ref, g_ref,
+                     dx_ref, dqkvt_scr, dp_scr, *, n_heads, eps, g_imgs):
+    lns32 = lns_ref[...].astype(jnp.float32)
+    for gi in range(g_imgs):
+        gy = g_ref[gi]                                 # (S, W) cotangent
+        x = x_ref[gi]
+        s, w = x.shape
+        h_n = n_heads
+        d = w // h_n
+        dtype = x.dtype
+        scale = d ** -0.5
+
+        qkvt = qkvt_ref[gi]                            # (3W, S)
+        # do^T = Wout @ gy^T : one full dot
+        do_t = _dot(wout_ref[...], gy, ((1,), (1,))).astype(dtype)
+
+        # MXU loop 1: dv^T and dp for every head
+        for h in range(h_n):
+            vt = qkvt[2 * w + h * d:2 * w + (h + 1) * d]
+            p = p_ref[gi, h]                           # (S, S)
+            doh = do_t[h * d:(h + 1) * d]              # (D, S)
+            # dv = p^T @ do -> dv^T = do^T @ p
+            dqkvt_scr[2 * w + h * d:2 * w + (h + 1) * d, :] = _dot(
+                doh, p, ((1,), (0,))).astype(dtype)
+            # dp[q, k] = sum_d do[q,d] v[k,d]
+            dp_scr[h] = _dot(doh, vt, ((0,), (0,)))    # (S, S) f32
+        # One batched softmax-VJP over every head (long VPU run)
+        p32 = p_ref[gi].astype(jnp.float32)
+        dp = dp_scr[...]
+        ds_all = (p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+                  * scale).astype(dtype)
+        # MXU loop 2: dq^T / dk^T per head
+        for h in range(h_n):
+            qt = qkvt[h * d:(h + 1) * d]
+            kt = qkvt[w + h * d:w + (h + 1) * d]
+            ds = ds_all[h]
+            dqkvt_scr[h * d:(h + 1) * d, :] = _dot(
+                kt, ds, ((1,), (1,))).astype(dtype)
+            dqkvt_scr[w + h * d:w + (h + 1) * d, :] = _dot(
+                qt, ds, ((1,), (0,))).astype(dtype)
+
+        # dxh = dqkv @ Wqkv^T -> (S, W), one full dot
+        dxh = _dot(dqkvt_scr[...], w3_ref[...], ((0,), (0,)))
+
+        # LayerNorm backward (scale/bias frozen — input cotangent only)
+        x32 = x.astype(jnp.float32)
+        mu = mu_ref[gi]
+        rstd = rstd_ref[gi]
+        xn = (x32 - mu) * rstd
+        dxh_s = dxh * lns32
+        m1 = jnp.mean(dxh_s, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxh_s * xn, axis=-1, keepdims=True)
+        dx = rstd * (dxh_s - m1 - xn * m2)
+        dx_ref[gi] = gy + dx.astype(dtype)
+
+
+def _head_major(attn_p, n_heads):
+    """(W, 3W) qkv weight -> (3W, W) with rows grouped q|k|v and, within
+    each, contiguous per-head 64-row slabs (matches the kernel's
+    transposed sublane slicing); bias -> (3W, 1)."""
+    w = attn_p["qkv_w"].shape[0]
+    w3 = attn_p["qkv_w"].T  # (3W, W): rows already ordered (3, H, D)
+    b3 = attn_p["qkv_b"][:, None]  # (3W, 1)
+    return w3, b3
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def attn_block(x, ln_p, attn_p, mask, n_heads, eps=_EPS):
+    """y = x + OutProj(MHA(LN(x))) as one fused kernel per image.
+
+    x: (B, S, W); mask: additive fp32 (S, S) (zeros when unmasked).
+    """
+    return _attn_fwd(x, ln_p, attn_p, mask, n_heads, eps)[0]
+
+
+def _attn_fwd(x, ln_p, attn_p, mask, n_heads, eps):
+    b, s, w = x.shape
+    g = _pick_g(b)
+    w3, b3 = _head_major(attn_p, n_heads)
+    has_mask = mask is not None
+    row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    in_specs = [_row3(g, s, w), _full(w), _full(w),
+                _full(3 * w, w), _full(3 * w, 1), _full(w, w), _full(w)]
+    args = [x, ln_p["scale"], ln_p["bias"], w3, b3, attn_p["out_w"],
+            attn_p["out_b"]]
+    if has_mask:
+        in_specs.append(_full(s, s))
+        args.append(mask.astype(jnp.float32))
+    y, qkvt, probs, mu, rstd = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, n_heads=n_heads, eps=eps,
+                          g_imgs=g, has_mask=has_mask),
+        grid=(b // g,),
+        in_specs=in_specs,
+        out_specs=(_row3(g, s, w),
+                   pl.BlockSpec((g, 3 * w, s), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((g, n_heads, s, s),
+                                lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   row2, row2),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),             # y
+            jax.ShapeDtypeStruct((b, 3 * w, s), x.dtype),         # qkv^T
+            jax.ShapeDtypeStruct((b, n_heads, s, s), x.dtype),    # probs
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),         # mu
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),         # rstd
+        ),
+        scratch_shapes=([pltpu.VMEM((w, s), x.dtype),
+                         pltpu.VMEM((n_heads, s, s), jnp.float32)]
+                        if _HAS_PLTPU else []),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+        interpret=_interpret(),
+    )(*args)
+    return y, (x, ln_p, attn_p, qkvt, probs, mu, rstd)
+
+
+def _attn_bwd(n_heads, eps, res, gy):
+    x, ln_p, attn_p, qkvt, probs, mu, rstd = res
+    b, s, w = x.shape
+    g = _pick_g(b)
+    w3, _ = _head_major(attn_p, n_heads)
+    row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, n_heads=n_heads, eps=eps,
+                          g_imgs=g),
+        grid=(b // g,),
+        in_specs=[_row3(g, s, w), row2, row2,
+                  pl.BlockSpec((g, 3 * w, s), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((g, n_heads, s, s), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  _full(w), _full(3 * w, w), _full(w, w), _row3(g, s, w)],
+        out_specs=_row3(g, s, w),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        scratch_shapes=([pltpu.VMEM((3 * w, s), x.dtype),
+                         pltpu.VMEM((n_heads, s, s), jnp.float32)]
+                        if _HAS_PLTPU else []),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+        interpret=_interpret(),
+    )(x, mu, rstd, qkvt, probs, ln_p["scale"], w3, attn_p["out_w"],
+      gy.astype(x.dtype))
+    # Backbone is frozen: weight cotangents are constant zeros, folded
+    # away by XLA when (as in the train step) nothing consumes them.
+    zl = jax.tree_util.tree_map(jnp.zeros_like, ln_p)
+    za = jax.tree_util.tree_map(jnp.zeros_like, attn_p)
+    return dx, zl, za, None
+
+
+attn_block.defvjp(_attn_fwd, _attn_bwd)
+
+
+# ---------------------------------------------------------------- mlp block
+
+def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
+                    wproj_ref, bproj_ref,
+                    y_ref, hpre_ref, mu_ref, rstd_ref, *, eps, g_imgs):
+    lns32 = lns_ref[...].astype(jnp.float32)
+    lnb32 = lnb_ref[...].astype(jnp.float32)
+    bfc32 = bfc_ref[...].astype(jnp.float32)
+    bproj32 = bproj_ref[...].astype(jnp.float32)
+    for gi in range(g_imgs):
+        x = x_ref[gi]                                  # (S, W)
+        dtype = x.dtype
+        xh32, mu, rstd = _ln2d(x.astype(jnp.float32), lns32, lnb32, eps)
+        mu_ref[gi] = mu
+        rstd_ref[gi] = rstd
+        hpre32 = _dot(xh32.astype(dtype), wfc_ref[...], ((1,), (0,)))
+        hpre32 = hpre32 + bfc32
+        hpre = hpre32.astype(dtype)
+        hpre_ref[gi] = hpre
+        a = (hpre32 * jax.nn.sigmoid(1.702 * hpre32)).astype(dtype)
+        y = _dot(a, wproj_ref[...], ((1,), (0,))) + bproj32
+        y_ref[gi] = x + y.astype(dtype)
+
+
+def _mlp_bwd_kernel(x_ref, mu_ref, rstd_ref, hpre_ref,
+                    lns_ref, wfc_ref, wproj_ref, g_ref,
+                    dx_ref, *, eps, g_imgs):
+    lns32 = lns_ref[...].astype(jnp.float32)
+    for gi in range(g_imgs):
+        gy = g_ref[gi]
+        x = x_ref[gi]
+        dtype = x.dtype
+        h32 = hpre_ref[gi].astype(jnp.float32)
+        da = _dot(gy, wproj_ref[...], ((1,), (1,)))    # (S, 4W) f32
+        sig = jax.nn.sigmoid(1.702 * h32)
+        dh = (da * (sig + 1.702 * h32 * sig * (1.0 - sig))).astype(dtype)
+        dxh = _dot(dh, wfc_ref[...], ((1,), (1,)))     # (S, W) f32
+        x32 = x.astype(jnp.float32)
+        mu = mu_ref[gi]
+        rstd = rstd_ref[gi]
+        xn = (x32 - mu) * rstd
+        dxh_s = dxh * lns32
+        m1 = jnp.mean(dxh_s, axis=-1, keepdims=True)
+        m2 = jnp.mean(dxh_s * xn, axis=-1, keepdims=True)
+        dx = rstd * (dxh_s - m1 - xn * m2)
+        dx_ref[gi] = gy + dx.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mlp_block(x, ln_p, mlp_p, eps=_EPS):
+    """y = x + Proj(QuickGELU(FC(LN(x)))) as one fused kernel."""
+    return _mlp_fwd(x, ln_p, mlp_p, eps)[0]
+
+
+def _mlp_fwd(x, ln_p, mlp_p, eps):
+    b, s, w = x.shape
+    w4 = mlp_p["fc_w"].shape[1]
+    g = _pick_g(b)
+    row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    y, hpre, mu, rstd = pl.pallas_call(
+        functools.partial(_mlp_fwd_kernel, eps=eps, g_imgs=g),
+        grid=(b // g,),
+        in_specs=[_row3(g, s, w), _full(w), _full(w),
+                  _full(w, w4), _full(w4), _full(w4, w), _full(w)],
+        out_specs=(_row3(g, s, w), _row3(g, s, w4), row2, row2),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, s, w), x.dtype),
+            jax.ShapeDtypeStruct((b, s, w4), x.dtype),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+        ),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+        interpret=_interpret(),
+    )(x, ln_p["scale"], ln_p["bias"], mlp_p["fc_w"], mlp_p["fc_b"],
+      mlp_p["proj_w"], mlp_p["proj_b"])
+    return y, (x, ln_p, mlp_p, hpre, mu, rstd)
+
+
+def _mlp_bwd(eps, res, gy):
+    x, ln_p, mlp_p, hpre, mu, rstd = res
+    b, s, w = x.shape
+    w4 = mlp_p["fc_w"].shape[1]
+    g = _pick_g(b)
+    row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps, g_imgs=g),
+        grid=(b // g,),
+        in_specs=[_row3(g, s, w), row2, row2, _row3(g, s, w4),
+                  _full(w), _full(w, w4), _full(w4, w), _row3(g, s, w)],
+        out_specs=_row3(g, s, w),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+        interpret=_interpret(),
+    )(x, mu, rstd, hpre, ln_p["scale"], mlp_p["fc_w"], mlp_p["proj_w"],
+      gy.astype(x.dtype))
+    zl = jax.tree_util.tree_map(jnp.zeros_like, ln_p)
+    zm = jax.tree_util.tree_map(jnp.zeros_like, mlp_p)
+    return dx, zl, zm
+
+
+mlp_block.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+def fused_residual_block(x, p, n_heads, mask=None):
+    """Drop-in residual_block using the fused kernels."""
+    x = attn_block(x, p["ln_1"], p["attn"], mask, n_heads)
+    return mlp_block(x, p["ln_2"], p["mlp"])
+
+
+def available() -> bool:
+    if not _HAS_PLTPU:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except RuntimeError:
+        return False
