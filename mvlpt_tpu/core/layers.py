@@ -78,41 +78,50 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     only to prompt tokens (the backbone is frozen), so compute-dtype
     backward precision is ample; in fp32 mode the math is unchanged.
     """
+    # mask is a formal argument of the custom_vjp (a closed-over traced
+    # mask leaks out of lax.map/scan bodies — seen in CoCoOp's chunked
+    # text tower); None passes through as an empty pytree.
+    return _sdpa_core(q, k, v, mask)
+
+
+def _sdpa_fwd(q, k, v, mask):
     dtype = v.dtype
     scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
+    return o.astype(dtype), (q, k, v, probs)
 
-    @jax.custom_vjp
-    def f(q, k, v):
-        return _fwd(q, k, v)[0]
 
-    def _fwd(q, k, v):
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
-        if mask is not None:
-            logits = logits + mask.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        o = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32)
-        return o.astype(dtype), (q, k, v, probs)
+def _sdpa_bwd(res, g):
+    q, k, v, p = res
+    dtype = v.dtype
+    scale = q.shape[-1] ** -0.5
+    g = g.astype(dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v,
+                    preferred_element_type=jnp.float32).astype(dtype)
+    p32, dp32 = p.astype(jnp.float32), dp.astype(jnp.float32)
+    ds = (p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
+          ).astype(dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
+                    preferred_element_type=jnp.float32) * scale
+    return dq.astype(dtype), dk.astype(dtype), dv
 
-    def _bwd(res, g):
-        q, k, v, p = res
-        g = g.astype(dtype)
-        dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
-                        preferred_element_type=jnp.float32).astype(dtype)
-        dp = jnp.einsum("bhqd,bhkd->bhqk", g, v,
-                        preferred_element_type=jnp.float32).astype(dtype)
-        p32, dp32 = p.astype(jnp.float32), dp.astype(jnp.float32)
-        ds = (p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
-              ).astype(dtype)
-        dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k,
-                        preferred_element_type=jnp.float32) * scale
-        dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
-                        preferred_element_type=jnp.float32) * scale
-        return dq.astype(dtype), dk.astype(dtype), dv
 
-    f.defvjp(_fwd, _bwd)
-    return f(q, k, v)
+@jax.custom_vjp
+def _sdpa_core(q, k, v, mask):
+    return _sdpa_fwd(q, k, v, mask)[0]
+
+
+_sdpa_core.defvjp(_sdpa_fwd, lambda res, g: (*_sdpa_bwd(res, g), None))
 
 
 def attention(

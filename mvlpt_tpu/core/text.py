@@ -73,6 +73,12 @@ def encode_text_embeds_packed(
         return encode_text_embeds(
             params, prompt_embeds, eot_idx, n_heads=n_heads, remat=remat,
             attn_fn=attn_fn, unroll=unroll)
+    # Fused-block kernels (ops/block.py) only pay off when the packed
+    # grid is deep enough to amortize per-program weight residency:
+    # measured on v5e a wash at 10 row-blocks (100 classes), a win at
+    # 100 row-blocks (1000 classes).
+    if getattr(attn_fn, "fused_block", False) and (n_cls // g) < 32:
+        attn_fn = None
 
     n_pad = (-n_cls) % g
     if n_pad:

@@ -86,19 +86,15 @@ class MVLPTModel:
         )
 
     def encode_text_prompts(self, backbone, prompts, eot_idx):
-        # Text stays on the XLA path when the image tower uses the
-        # fused-block kernels: measured a wash at 100 classes (20.23 vs
-        # 20.25 ms/step full-step either way on v5e) and the XLA path
-        # composes with remat/CUT_CONTEXTLEN shape changes for free.
-        attn_fn = (None if getattr(self.attn_fn, "fused_block", False)
-                   else self.attn_fn)
+        # The fused-block marker passes through; the packed text encoder
+        # decides per-shape whether the kernels pay off (core/text.py).
         return text_mod.encode_text_embeds_packed(
             backbone["text"],
             prompts.astype(self.compute_dtype),
             eot_idx,
             n_heads=self.clip_cfg.transformer_heads,
             remat=self.remat,
-            attn_fn=attn_fn,
+            attn_fn=self.attn_fn,
         )
 
     def __call__(
