@@ -125,6 +125,13 @@ def get_cfg_default() -> CN:
     cfg.TRAIN.CHECKPOINT_FREQ = 0
     cfg.TRAIN.PRINT_FREQ = 10
     cfg.TRAIN.COUNT_ITER = "train_x"
+    # Windowed dispatch: stage K loader batches and run them through
+    # ONE jitted lax.scan program (train/train_step.py:
+    # make_train_step_multi). Amortizes per-dispatch host latency —
+    # on the benched v5e it is the difference between 19.9 and
+    # 18.6 ms/step. 1 = classic one-dispatch-per-batch. Applies on a
+    # single device (the mesh path keeps per-batch dispatch).
+    cfg.TRAIN.STEPS_PER_DISPATCH = 1
 
     # ------------------------------------------------------------------- test
     cfg.TEST = CN()

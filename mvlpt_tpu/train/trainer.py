@@ -250,6 +250,7 @@ class PromptTrainer:
         self.tx, self.lr_schedule = build_optimizer(cfg.OPTIM, steps_per_epoch)
         self.state = init_train_state(self.prompt_params, self.tx)
         self.train_step = make_train_step(self.model, self.tx, self.task_ranges)
+        self.train_step_multi = None  # built lazily (TRAIN.STEPS_PER_DISPATCH)
         self.eval_step = make_eval_step(self.model, self.task_ranges)
         self.evaluator = ClassificationEvaluator(self.lab2cname)
 
@@ -334,6 +335,9 @@ class PromptTrainer:
         print(f"Elapsed: {datetime.timedelta(seconds=elapsed)}")
 
     def run_epoch(self):
+        window = max(1, int(self.cfg.TRAIN.STEPS_PER_DISPATCH))
+        if window > 1 and self.mesh is None:
+            return self._run_epoch_windowed(window)
         meter = MetricMeter()
         num_batches = len(self.train_loader_x)
         rng = jax.random.PRNGKey(max(self.cfg.SEED, 0) * 131 + self.epoch)
@@ -350,6 +354,70 @@ class PromptTrainer:
                 print(f"epoch [{self.epoch + 1}/{self.max_epoch}] "
                       f"batch [{batch_idx + 1}/{num_batches}] "
                       f"{meter.summary()} lr {lr:.4e}")
+
+    def _run_epoch_windowed(self, window: int):
+        """Stage `window` loader batches, run them in ONE jitted scan
+        (make_train_step_multi) — amortizes per-dispatch host latency.
+        Same optimizer/schedule math as the per-batch path; the
+        per-step dropout keys come from a nested fold
+        (fold_in(fold_in(rng, first_idx), pos)) — a different but
+        equally deterministic stream than the flat per-batch fold."""
+        import numpy as np
+
+        meter = MetricMeter()
+        num_batches = len(self.train_loader_x)
+        rng = jax.random.PRNGKey(max(self.cfg.SEED, 0) * 131 + self.epoch)
+        if self.train_step_multi is None:
+            from mvlpt_tpu.train.train_step import make_train_step_multi
+
+            self.train_step_multi = make_train_step_multi(
+                self.model, self.tx, self.task_ranges)
+        pending: list[dict] = []
+        done = 0
+
+        def flush():
+            nonlocal done
+            if not pending:
+                return
+            if len(pending) == 1:
+                step_rng = jax.random.fold_in(rng, done)
+                self.state, metrics = self.train_step(
+                    self.state, self.backbone, self.consts,
+                    self._device_batch(pending[0]), step_rng)
+                metrics = {k: v for k, v in metrics.items()}
+            else:
+                keys = ("image", "label", "task")
+                stacked = {
+                    k: jnp.asarray(np.stack([b[k] for b in pending]))
+                    for k in keys if k in pending[0]
+                }
+                # images go up in the compute dtype the model casts to
+                # anyway — halves staging transfer for bf16 runs
+                stacked["image"] = stacked["image"].astype(
+                    self.model.compute_dtype)
+                win_rng = jax.random.fold_in(rng, done)
+                self.state, mstack = self.train_step_multi(
+                    self.state, self.backbone, self.consts, stacked, win_rng)
+                metrics = {k: jnp.mean(v) for k, v in mstack.items()}
+            for b in pending:
+                if "task" in b:
+                    meter.update(
+                        {"num_tasks": len(set(b["task"].tolist()))})
+            done_new = done + len(pending)
+            meter.update(metrics)
+            pending.clear()
+            done = done_new
+            if done % max(1, self.cfg.TRAIN.PRINT_FREQ) < window:
+                lr = float(self.lr_schedule(self.state.step - 1))
+                print(f"epoch [{self.epoch + 1}/{self.max_epoch}] "
+                      f"batch [{done}/{num_batches}] "
+                      f"{meter.summary()} lr {lr:.4e}")
+
+        for batch in self.train_loader_x:
+            pending.append(batch)
+            if len(pending) == window:
+                flush()
+        flush()
 
     def after_epoch(self):
         cfg = self.cfg

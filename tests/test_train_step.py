@@ -141,3 +141,61 @@ def test_spmd_step_on_8_device_mesh():
     for a, b in zip(jax.tree_util.tree_leaves(state2.prompt_params),
                     jax.tree_util.tree_leaves(state1.prompt_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
+
+
+def test_windowed_epoch_matches_single_dispatch_math():
+    """TRAIN.STEPS_PER_DISPATCH > 1 stages loader batches through ONE
+    jitted scan; optimizer math must match the per-batch path (the
+    dropout rng stream differs by design — these specs use none)."""
+    import numpy as np
+
+    from mvlpt_tpu.config import get_cfg_default
+    from mvlpt_tpu.core.clip import CLIPConfig, init_clip_params
+    from mvlpt_tpu.models.custom_clip import MVLPTModel
+    from mvlpt_tpu.prompts import (
+        PromptSpec, build_prompt_consts, init_prompt_params)
+    from mvlpt_tpu.train.optim import build_optimizer
+    from mvlpt_tpu.train.train_step import (
+        init_train_state, make_train_step, make_train_step_multi)
+
+    clip_cfg = CLIPConfig(
+        embed_dim=16, image_resolution=16, vision_layers=2, vision_width=32,
+        vision_patch_size=8, transformer_width=32, transformer_heads=2,
+        transformer_layers=2, vision_heads_override=2)
+    backbone = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    spec = PromptSpec(
+        n_cls=4, coop_n_ctx=2, vpt_n_ctx=0, vpt_deep=False,
+        class_token_position="end", project_method="identity",
+        project_dim=None, context_length=8, vision_layers=2,
+        vision_width=32, text_width=32, embed_dim=16, vision_patch_size=8)
+    pp = init_prompt_params(jax.random.PRNGKey(1), spec)
+    consts = build_prompt_consts(
+        [f"c{i}" for i in range(4)], spec, backbone, jnp.float32)
+    model = MVLPTModel(clip_cfg=clip_cfg, spec=spec,
+                       compute_dtype=jnp.float32)
+    cfg = get_cfg_default()
+    tx, _ = build_optimizer(cfg.OPTIM, steps_per_epoch=4)
+    rng_np = np.random.RandomState(0)
+    K = 4
+    imgs = rng_np.randn(K, 2, 16, 16, 3).astype(np.float32)
+    labels = rng_np.randint(0, 4, (K, 2))
+    key = jax.random.PRNGKey(7)
+
+    single = make_train_step(model, tx, donate=False)
+    s1 = init_train_state(pp, tx)
+    for i in range(K):
+        s1, _ = single(s1, backbone, consts,
+                       {"image": jnp.asarray(imgs[i]),
+                        "label": jnp.asarray(labels[i])},
+                       jax.random.fold_in(key, i))
+
+    multi = make_train_step_multi(model, tx, donate=False)
+    s2 = init_train_state(jax.tree_util.tree_map(jnp.array, pp), tx)
+    s2, mstack = multi(s2, backbone, consts,
+                       {"image": jnp.asarray(imgs),
+                        "label": jnp.asarray(labels)}, key)
+    assert int(s2.step) == int(s1.step) == K
+    assert mstack["loss"].shape == (K,)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.prompt_params),
+                    jax.tree_util.tree_leaves(s2.prompt_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
