@@ -143,6 +143,16 @@ class MVLPTModel:
                 tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
                 return tf.reshape(chunk, n_cls, -1)
 
+            # lax.map + autodiff stores EVERY chunk's tower residuals:
+            # ~(B*n_cls * S * 4W * L) bytes — 19 GB at B=32, 1000
+            # classes (HBM OOM; ~1.9 GB at 100 classes). Past ~8k
+            # conditioned rows remat the chunk tower: the backward
+            # recomputes it instead of storing activations (classic
+            # memory/FLOPs trade; reference analogue:
+            # checkpoint_sequential, mvlpt.py:119).
+            if b * n_cls > 8192 or self.remat:
+                per_chunk = jax.checkpoint(per_chunk, prevent_cse=False)
+
             text_features = jax.lax.map(
                 per_chunk, ctx_shifted.reshape(b // chunk, chunk,
                                                *ctx_shifted.shape[1:]))

@@ -199,3 +199,50 @@ def test_windowed_epoch_matches_single_dispatch_math():
     for a, b in zip(jax.tree_util.tree_leaves(s1.prompt_params),
                     jax.tree_util.tree_leaves(s2.prompt_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_cocoop_remat_chunk_tower_grads():
+    """CoCoOp's chunked text tower remats past 8k conditioned rows (or
+    when model.remat is set): at 1000 classes the un-rematted lax.map
+    stored ~19 GB of residuals (HBM OOM). Exercise the checkpointed
+    path via remat=True on tiny towers."""
+    import dataclasses
+
+    import numpy as np
+
+    from mvlpt_tpu.core.clip import CLIPConfig, init_clip_params
+    from mvlpt_tpu.models.custom_clip import MVLPTModel
+    from mvlpt_tpu.prompts import (
+        PromptSpec, build_prompt_consts, init_prompt_params)
+
+    clip_cfg = CLIPConfig(
+        embed_dim=16, image_resolution=16, vision_layers=2, vision_width=32,
+        vision_patch_size=8, transformer_width=32, transformer_heads=2,
+        transformer_layers=2, vision_heads_override=2)
+    backbone = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    spec = PromptSpec(
+        n_cls=4, cocoop_n_ctx=2, context_length=8, vision_layers=2,
+        vision_width=32, text_width=32, embed_dim=16, vision_patch_size=8)
+    pp = init_prompt_params(jax.random.PRNGKey(1), spec)
+    consts = build_prompt_consts(
+        [f"c{i}" for i in range(4)], spec, backbone, jnp.float32)
+    images = jnp.asarray(
+        np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    plain = MVLPTModel(clip_cfg=clip_cfg, spec=spec,
+                       compute_dtype=jnp.float32)
+    # remat=False here only affects the towers; CoCoOp's chunk remat
+    # triggers via the model.remat flag
+    remat = dataclasses.replace(plain, remat=True)
+
+    def loss(model, p):
+        return jnp.sum(model(backbone, p, consts, images) ** 2)
+
+    la = float(loss(plain, pp))
+    lb = float(loss(remat, pp))
+    np.testing.assert_allclose(lb, la, rtol=1e-5)
+    ga = jax.grad(lambda p: loss(plain, p))(pp)
+    gb = jax.grad(lambda p: loss(remat, p))(pp)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-5)
