@@ -111,11 +111,25 @@ def from_hub(src: str, registry_path: str, task: str):
             raise SystemExit(f"index file missing: {index_path}")
         split_rows = []
         with open(index_path) as f:
-            for line in f:
+            for lineno, line in enumerate(f, 1):
                 line = line.strip()
                 if not line:
                     continue
-                img_ref, label_str = line.rsplit(maxsplit=1)
+                # Rows are "<image ref> <int[,int...]>". Validate the
+                # label token instead of letting rsplit/int raise (hub
+                # dumps with unlabeled prediction-only rows would crash,
+                # and a filename whose last token is numeric would be
+                # silently misparsed as its own label).
+                parts = line.rsplit(maxsplit=1)
+                if len(parts) != 2 or not all(
+                        p.lstrip("-").isdigit()
+                        for p in parts[1].split(",") if p):
+                    raise SystemExit(
+                        f"{index_path}:{lineno}: expected "
+                        f"'<image> <label[,label...]>', got: {line!r} "
+                        f"(unlabeled rows are not supported; drop them "
+                        f"from the index or add labels)")
+                img_ref, label_str = parts
                 labels = [int(x) for x in label_str.split(",")]
                 split_rows.append([img_ref, labels])
         want = info.get("num_images")

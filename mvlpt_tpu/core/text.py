@@ -76,8 +76,11 @@ def encode_text_embeds_packed(
     # Fused-block kernels (ops/block.py) only pay off when the packed
     # grid is deep enough to amortize per-program weight residency:
     # measured on v5e a wash at 10 row-blocks (100 classes), a win at
-    # 100 row-blocks (1000 classes).
-    if getattr(attn_fn, "fused_block", False) and (n_cls // g) < 32:
+    # 100 row-blocks (1000 classes). Only 'auto' selections may be
+    # downgraded — an explicitly forced TPU.USE_PALLAS='block' sticks.
+    if (getattr(attn_fn, "fused_block", False)
+            and getattr(attn_fn, "auto_selected", False)
+            and (n_cls // g) < 32):
         attn_fn = None
 
     n_pad = (-n_cls) % g

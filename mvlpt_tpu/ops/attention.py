@@ -265,7 +265,7 @@ def available() -> bool:
 
 
 def select_attn_fn(use_pallas: str | bool = "auto",
-                   min_seq: int = 0) -> Callable | None:
+                   min_seq: int = 0, mesh=None) -> Callable | None:
     """Resolve the TPU.USE_PALLAS config knob to an attn_fn or None
     (None = the XLA einsum path in core.layers.attention).
 
@@ -277,15 +277,34 @@ def select_attn_fn(use_pallas: str | bool = "auto",
     'block' selects the fused residual-block kernels (ops/block.py):
     whole LN→QKV→MHA→proj and LN→MLP half-blocks as single Pallas
     programs with hand-derived backward kernels — measured 27.6 →
-    20.6 ms/step on the flagship UPT config (v5e), so 'auto' now
-    selects them on a single TPU device. Under a multi-device mesh
-    'auto' falls back to the XLA path: pallas_call under GSPMD needs
-    explicit partitioning the kernels don't declare yet. 'on' forces
-    the standalone fused-attention kernel (wins fwd only; kept for
-    inference-heavy regimes)."""
+    20.6 ms/step on the flagship UPT config (v5e), so 'auto' selects
+    them on a single TPU device.
+
+    ``mesh``: the trainer's device mesh (or None single-device). On a
+    pure data-parallel mesh (model axis == 1) the kernels run wrapped
+    in ``shard_map`` over the "data" axis (the batch-axis grid is
+    embarrassingly data-parallel; ops/block.py:
+    fused_residual_block_sharded). Tensor-parallel meshes keep the XLA
+    path: the kernels do not declare a model-axis partitioning of the
+    weight operands. 'on' forces the standalone fused-attention kernel
+    (wins fwd only; kept for inference-heavy regimes)."""
+
+    def _tp_size(m) -> int:
+        if m is None:
+            return 1
+        return dict(zip(m.axis_names, m.devices.shape)).get("model", 1)
+
     if use_pallas == "block":
         from mvlpt_tpu.ops import block as block_ops
 
+        if mesh is not None and mesh.devices.size > 1:
+            if _tp_size(mesh) > 1:
+                print("TPU.USE_PALLAS='block': tensor-parallel mesh "
+                      "(model axis > 1) keeps the XLA attention path — "
+                      "the fused kernels only declare data-axis "
+                      "partitioning")
+                return None
+            return block_ops._FusedMarker(auto_selected=False, mesh=mesh)
         return block_ops.FUSED
     if use_pallas in (True, "on", "1"):
         return pallas_attention
@@ -294,10 +313,16 @@ def select_attn_fn(use_pallas: str | bool = "auto",
 
         from mvlpt_tpu.ops import block as block_ops
 
+        if not block_ops.available():
+            return None
+        if mesh is not None and mesh.devices.size > 1:
+            if _tp_size(mesh) > 1:
+                return None
+            return block_ops._FusedMarker(auto_selected=True, mesh=mesh)
         try:
             single = len(jax.devices()) == 1
         except RuntimeError:
             single = False
-        if single and block_ops.available():
-            return block_ops.FUSED
+        if single:
+            return block_ops.FUSED_AUTO
     return None

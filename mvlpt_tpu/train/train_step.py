@@ -62,23 +62,35 @@ def accuracy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return (pred == want).astype(jnp.float32).mean()
 
 
+def _prep_images(model, backbone, images, normalize):
+    """(images_or_tokens, pre_embedded): uint8 batches are embedded
+    through the frozen stem with CLIP normalization folded into the
+    patch-embed matmul (vit.embed_image); float batches pass through."""
+    if normalize is not None and images.dtype == jnp.uint8:
+        return model.embed_image(backbone, images, normalize=normalize), True
+    return images, False
+
+
 def make_train_step(
     model: MVLPTModel,
     tx: optax.GradientTransformation,
     task_ranges: TaskClassRanges | None = None,
     donate: bool = True,
+    normalize: tuple | None = None,
 ) -> Callable:
     """Build the jitted train step.
 
     step(state, backbone, consts, batch, rng) -> (state, metrics)
-    batch = {"image": (B,H,W,3) fp32, "label": (B,) int or (B,C), and
-    optionally "task": (B,) int}.
+    batch = {"image": (B,H,W,3) fp32 (or uint8 with ``normalize``),
+    "label": (B,) int or (B,C), and optionally "task": (B,) int}.
     """
 
     def loss_fn(prompt_params, backbone, consts, batch, rng):
+        imgs, pre = _prep_images(model, backbone, batch["image"], normalize)
         logits = model(
-            backbone, prompt_params, consts, batch["image"],
-            tasks=batch.get("task"), task_ranges=task_ranges, rng=rng)
+            backbone, prompt_params, consts, imgs,
+            tasks=batch.get("task"), task_ranges=task_ranges, rng=rng,
+            pre_embedded=pre)
         loss = soft_cross_entropy(logits, batch["label"])
         return loss, (logits,)
 
@@ -108,6 +120,8 @@ def make_train_step_multi(
     tx: optax.GradientTransformation,
     task_ranges: TaskClassRanges | None = None,
     donate: bool = True,
+    pre_embed: bool = False,
+    normalize: tuple | None = None,
 ) -> Callable:
     """Multi-step-per-dispatch train step: one compiled program runs a
     ``lax.scan`` over K pre-staged batches (leading axis K on every
@@ -116,20 +130,50 @@ def make_train_step_multi(
     step(state, backbone, consts, batches, rng) ->
         (state, metrics stacked over K).
 
-    Use when dispatch is the bottleneck (very fast steps, multi-host
-    orchestration). Measured on the single v5e here: no gain over the
-    single-step path (~1117 vs ~1110 img/s) because dispatches already
-    pipeline asynchronously; provided for input pipelines that stage
-    batches ahead (e.g. grain/tf.data windows).
+    Amortizes this environment's fixed per-execution dispatch overhead
+    (~1.4 ms on the tunneled v5e) over K steps; feed it from input
+    pipelines that stage batches ahead (the trainer's windowed mode).
+
+    ``pre_embed``: run the frozen ViT stem for ALL K batches in one
+    batched call BEFORE the scan (one (K*B, N, P²C) patch-embed matmul
+    instead of K smaller ones inside the scan body — and XLA can no
+    longer be tricked into re-running stem work per step). No gradient
+    flows through the stem (frozen backbone), so training math is
+    unchanged.
+
+    ``normalize=(mean, std)``: batches carry RAW uint8 pixels; CLIP
+    normalization happens on device. With ``pre_embed`` it is folded
+    algebraically into the patch-embed matmul (vit.embed_image) — uint8
+    staging halves H2D bytes vs bf16 and the normalize costs nothing.
     """
 
     def loss_fn(prompt_params, backbone, consts, batch, rng):
         logits = model(
             backbone, prompt_params, consts, batch["image"],
-            tasks=batch.get("task"), task_ranges=task_ranges, rng=rng)
+            tasks=batch.get("task"), task_ranges=task_ranges, rng=rng,
+            pre_embedded=pre_embed)
         return soft_cross_entropy(logits, batch["label"]), logits
 
     def multi_fn(state: TrainState, backbone, consts, batches, rng):
+        # hoist loop-invariant weight prep (layer slicing + kernel
+        # transposes) out of the K-step scan — measured ~0.56 ms/step
+        # of unhoisted re-slicing otherwise (v5e xplane)
+        backbone = model.prepare_backbone(backbone)
+        imgs = batches["image"]
+        if pre_embed:
+            norm = normalize if imgs.dtype == jnp.uint8 else None
+            # vmap over the window axis (not reshape K*B): keeps the
+            # (None, "data") sharding of staged windows intact under a
+            # mesh — XLA still emits one batched stem contraction
+            imgs = jax.vmap(
+                lambda im: model.embed_image(backbone, im, normalize=norm)
+            )(imgs)
+        elif normalize is not None and imgs.dtype == jnp.uint8:
+            mean, std = (jnp.asarray(v, jnp.float32) for v in normalize)
+            imgs = ((imgs.astype(jnp.float32) / 255.0 - mean) / std
+                    ).astype(model.compute_dtype)
+        batches = dict(batches, image=imgs)
+
         def body(state, xs):
             batch, i = xs
             step_rng = jax.random.fold_in(rng, i)
@@ -138,7 +182,11 @@ def make_train_step_multi(
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.prompt_params)
             prompt_params = optax.apply_updates(state.prompt_params, updates)
-            metrics = {"loss": loss, "acc": accuracy(logits, batch["label"])}
+            metrics = {
+                "loss": loss,
+                "acc": accuracy(logits, batch["label"]),
+                "grad_norm": optax.global_norm(grads),
+            }
             return TrainState(prompt_params, opt_state, state.step + 1), metrics
 
         k = jax.tree_util.tree_leaves(batches)[0].shape[0]
@@ -148,14 +196,17 @@ def make_train_step_multi(
     return jax.jit(multi_fn, donate_argnums=donate_argnums)
 
 
-def make_eval_step(model: MVLPTModel, task_ranges: TaskClassRanges | None = None):
+def make_eval_step(model: MVLPTModel, task_ranges: TaskClassRanges | None = None,
+                   normalize: tuple | None = None):
     """eval_step(backbone, prompt_params, consts, batch) -> fp32 logits."""
 
     @jax.jit
     def eval_fn(backbone, prompt_params, consts, batch):
+        imgs, pre = _prep_images(model, backbone, batch["image"], normalize)
         return model(
-            backbone, prompt_params, consts, batch["image"],
-            tasks=batch.get("task"), task_ranges=task_ranges, rng=None)
+            backbone, prompt_params, consts, imgs,
+            tasks=batch.get("task"), task_ranges=task_ranges, rng=None,
+            pre_embedded=pre)
 
     return eval_fn
 

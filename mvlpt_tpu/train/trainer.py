@@ -230,6 +230,12 @@ class PromptTrainer:
             self.task_ranges = TaskClassRanges(
                 start=jnp.asarray(starts), end=jnp.asarray(ends))
 
+        # Multi-chip: the ("data","model") mesh must exist before the
+        # model so select_attn_fn can declare the fused kernels'
+        # shard_map partitioning over it (replaces nn.DataParallel,
+        # mvlpt.py:877-880).
+        self.mesh = self._build_mesh(cfg)
+
         # ACT_CKPT is the memory lever (reference: checkpoint_sequential
         # chunks, mvlpt.py:119-121). On TPU remat costs ~25% step time at
         # CLIP scale, so it is opt-in rather than implied by CUT_CONTEXTLEN.
@@ -238,7 +244,7 @@ class PromptTrainer:
 
         self.model = MVLPTModel(
             clip_cfg=self.clip_cfg, spec=self.spec, remat=use_remat,
-            attn_fn=select_attn_fn(cfg.TPU.USE_PALLAS),
+            attn_fn=select_attn_fn(cfg.TPU.USE_PALLAS, mesh=self.mesh),
             compute_dtype=compute_dtype)
 
         n_prompt = clip_core.count_params(self.prompt_params)
@@ -249,40 +255,50 @@ class PromptTrainer:
         self.steps_per_epoch = steps_per_epoch
         self.tx, self.lr_schedule = build_optimizer(cfg.OPTIM, steps_per_epoch)
         self.state = init_train_state(self.prompt_params, self.tx)
-        self.train_step = make_train_step(self.model, self.tx, self.task_ranges)
+        # TPU.DEVICE_NORMALIZE: loaders yield raw uint8; the steps fold
+        # CLIP normalization into the frozen patch-embed matmul
+        self._normalize = (tuple(cfg.INPUT.PIXEL_MEAN),
+                           tuple(cfg.INPUT.PIXEL_STD)) \
+            if cfg.TPU.DEVICE_NORMALIZE else None
+        self.train_step = make_train_step(
+            self.model, self.tx, self.task_ranges, normalize=self._normalize)
         self.train_step_multi = None  # built lazily (TRAIN.STEPS_PER_DISPATCH)
-        self.eval_step = make_eval_step(self.model, self.task_ranges)
+        self.eval_step = make_eval_step(
+            self.model, self.task_ranges, normalize=self._normalize)
         self.evaluator = ClassificationEvaluator(self.lab2cname)
 
-        # Multi-chip: shard the frozen backbone over the ("data","model")
-        # mesh and the batches over "data"; gradients all-reduce inside
-        # the jitted step (replaces nn.DataParallel, mvlpt.py:877-880).
-        self.mesh = None
-        if len(jax.devices()) > 1:
+        # Shard the frozen backbone over the mesh; batches shard over
+        # "data" per-step and gradients all-reduce inside the jitted
+        # step.
+        if self.mesh is not None:
             from mvlpt_tpu.parallel import (
-                backbone_partition_specs, create_mesh, shard_tree)  # noqa: E501
-
-            import math
-
-            n_model = max(1, cfg.TPU.MESH_MODEL)
-            n_data = cfg.TPU.MESH_DATA
-            if n_data == -1:
-                n_data = len(jax.devices()) // n_model
-            # the data axis must divide the train batch; shrink to fit
-            n_data = math.gcd(n_data, cfg.DATALOADER.TRAIN_X.BATCH_SIZE)
-            if n_data * n_model < 2:
-                self.mesh = None
-                return
-            self.mesh = create_mesh(
-                n_data, n_model,
-                devices=jax.devices()[: n_data * n_model])
-            from mvlpt_tpu.parallel import put_tree_on_mesh
+                backbone_partition_specs, put_tree_on_mesh)
 
             # correct under multi-host too (callback-placed shards)
             self.backbone = put_tree_on_mesh(
                 self.backbone, backbone_partition_specs(self.backbone),
                 self.mesh)
             print(f"mesh: {dict(zip(self.mesh.axis_names, self.mesh.devices.shape))}")
+
+    @staticmethod
+    def _build_mesh(cfg):
+        """("data","model") mesh from TPU.MESH_* (None single-device)."""
+        if len(jax.devices()) <= 1:
+            return None
+        import math
+
+        from mvlpt_tpu.parallel import create_mesh
+
+        n_model = max(1, cfg.TPU.MESH_MODEL)
+        n_data = cfg.TPU.MESH_DATA
+        if n_data == -1:
+            n_data = len(jax.devices()) // n_model
+        # the data axis must divide the train batch; shrink to fit
+        n_data = math.gcd(n_data, cfg.DATALOADER.TRAIN_X.BATCH_SIZE)
+        if n_data * n_model < 2:
+            return None
+        return create_mesh(
+            n_data, n_model, devices=jax.devices()[: n_data * n_model])
 
     def _device_batch(self, batch: dict, train: bool = True) -> dict:
         """Place one host batch onto device(s).
@@ -311,14 +327,15 @@ class PromptTrainer:
             return global_batch_arrays(
                 arrays, batch_specs(arrays), self.mesh,
                 global_batch=local_rows * n_proc)
-        if local_rows % n_data == 0:
-            if n_proc == 1:
-                return global_batch_arrays(
-                    arrays, batch_specs(arrays), self.mesh,
-                    global_batch=local_rows)
-            # eval under multi-host: every host holds the full batch;
-            # callback placement shards rows without duplicating them
-            return put_tree_on_mesh(arrays, batch_specs(arrays), self.mesh)
+        if local_rows % n_data == 0 and n_proc == 1:
+            return global_batch_arrays(
+                arrays, batch_specs(arrays), self.mesh,
+                global_batch=local_rows)
+        # eval under multi-host stays REPLICATED (the documented contract
+        # in parallel/multihost.py): sharding rows over the data axis
+        # would leave eval logits spanning non-addressable devices, and
+        # test()'s np.asarray on them would raise. Replicated logits are
+        # fully addressable on every host.
         return put_tree_on_mesh(arrays, replicated_specs(arrays), self.mesh)
 
     # ------------------------------------------------------------------ train
@@ -336,7 +353,7 @@ class PromptTrainer:
 
     def run_epoch(self):
         window = max(1, int(self.cfg.TRAIN.STEPS_PER_DISPATCH))
-        if window > 1 and self.mesh is None:
+        if window > 1:
             return self._run_epoch_windowed(window)
         meter = MetricMeter()
         num_batches = len(self.train_loader_x)
@@ -355,6 +372,42 @@ class PromptTrainer:
                       f"batch [{batch_idx + 1}/{num_batches}] "
                       f"{meter.summary()} lr {lr:.4e}")
 
+    def _stage_window(self, stacked: dict) -> dict:
+        """Place a stacked (K, B, ...) window on device(s).
+
+        uint8 (DEVICE_NORMALIZE) stages as-is — half the bytes of bf16;
+        otherwise images stage in the compute dtype the model casts to
+        anyway. Under a mesh the window shards as (None, "data"):
+        step axis replicated, batch rows over the data axis — the same
+        per-step placement the non-windowed path uses, so the scanned
+        step's collectives are identical. Multi-host: each host holds
+        its local_batch_slice rows of axis 1 and the global window is
+        assembled process-locally (parallel/multihost.py)."""
+        if stacked["image"].dtype != np.uint8:
+            # host-side cast so the H2D transfer itself is half-width
+            stacked = dict(stacked, image=stacked["image"].astype(
+                jnp.dtype(self.model.compute_dtype)))
+
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def spec(v):
+            return P(None, "data") if np.ndim(v) >= 2 else P(None)
+
+        n_proc = jax.process_count()
+        out = {}
+        for k, v in stacked.items():
+            sharding = NamedSharding(self.mesh, spec(v))
+            if n_proc == 1:
+                out[k] = jax.device_put(v, sharding)
+            else:
+                gshape = (v.shape[0], v.shape[1] * n_proc) + v.shape[2:]
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, v, gshape)
+        return out
+
     def _run_epoch_windowed(self, window: int):
         """Stage `window` loader batches, run them in ONE jitted scan
         (make_train_step_multi) — amortizes per-dispatch host latency.
@@ -371,7 +424,9 @@ class PromptTrainer:
             from mvlpt_tpu.train.train_step import make_train_step_multi
 
             self.train_step_multi = make_train_step_multi(
-                self.model, self.tx, self.task_ranges)
+                self.model, self.tx, self.task_ranges,
+                pre_embed=bool(self.cfg.TPU.PRE_EMBED_WINDOW),
+                normalize=self._normalize)
         pending: list[dict] = []
         done = 0
 
@@ -379,32 +434,38 @@ class PromptTrainer:
             nonlocal done
             if not pending:
                 return
-            if len(pending) == 1:
-                step_rng = jax.random.fold_in(rng, done)
-                self.state, metrics = self.train_step(
-                    self.state, self.backbone, self.consts,
-                    self._device_batch(pending[0]), step_rng)
-                metrics = {k: v for k, v in metrics.items()}
+            if len(pending) < window:
+                # Tail (or window=1): run through the single-step path,
+                # which is already compiled — a K-sized tail scan would
+                # recompile the whole program for each distinct K.
+                for pos, b in enumerate(pending):
+                    step_rng = jax.random.fold_in(rng, done + pos)
+                    self.state, metrics = self.train_step(
+                        self.state, self.backbone, self.consts,
+                        self._device_batch(b), step_rng)
+                    meter.update({k: v for k, v in metrics.items()})
             else:
                 keys = ("image", "label", "task")
                 stacked = {
-                    k: jnp.asarray(np.stack([b[k] for b in pending]))
+                    k: np.stack([b[k] for b in pending])
                     for k in keys if k in pending[0]
                 }
-                # images go up in the compute dtype the model casts to
-                # anyway — halves staging transfer for bf16 runs
-                stacked["image"] = stacked["image"].astype(
-                    self.model.compute_dtype)
+                stacked = self._stage_window(stacked)
                 win_rng = jax.random.fold_in(rng, done)
                 self.state, mstack = self.train_step_multi(
                     self.state, self.backbone, self.consts, stacked, win_rng)
-                metrics = {k: jnp.mean(v) for k, v in mstack.items()}
+                # one meter entry per step (the window mean, pushed K
+                # times) so the rolling average weights every step
+                # equally without K per-element device slices (each
+                # would be its own ~1.4 ms dispatch on this tunnel)
+                means = {k: jnp.mean(v) for k, v in mstack.items()}
+                for _ in range(len(pending)):
+                    meter.update(means)
             for b in pending:
                 if "task" in b:
                     meter.update(
                         {"num_tasks": len(set(b["task"].tolist()))})
             done_new = done + len(pending)
-            meter.update(metrics)
             pending.clear()
             done = done_new
             if done % max(1, self.cfg.TRAIN.PRINT_FREQ) < window:
