@@ -193,6 +193,16 @@ def get_cfg_default() -> CN:
     cfg.TPU.PARAM_DTYPE = "bfloat16"   # frozen backbone storage dtype
     cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.TPU.PROMPT_DTYPE = "float32"   # trainable prompt master dtype
+    # Stage RAW uint8 pixels and normalize on device: the CLIP
+    # (x/255-mean)/std affine folds algebraically into the frozen
+    # patch-embed matmul (core/vit.py:embed_image), so it costs nothing
+    # and H2D transfer halves vs bf16. Off by default for bit-parity
+    # with the reference's host-side torchvision normalize.
+    cfg.TPU.DEVICE_NORMALIZE = False
+    # Windowed dispatch only: run the frozen ViT stem for all K staged
+    # batches in ONE batched matmul before the scan instead of per step
+    # inside it (no gradient flows through the stem).
+    cfg.TPU.PRE_EMBED_WINDOW = True
     return cfg
 
 

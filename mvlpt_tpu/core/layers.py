@@ -167,6 +167,10 @@ def residual_block(
     if attn_fn is not None and getattr(attn_fn, "fused_block", False):
         from mvlpt_tpu.ops import block as block_ops
 
+        mesh = getattr(attn_fn, "mesh", None)
+        if mesh is not None:
+            return block_ops.fused_residual_block_sharded(
+                x, p, n_heads, mask, mesh)
         return block_ops.fused_residual_block(x, p, n_heads, mask)
     x = x + attention(layer_norm(x, p["ln_1"]), p["attn"], n_heads, mask, attn_fn)
     x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
@@ -198,18 +202,39 @@ def transformer(
     12-layer ViT-B towers (cross-layer fusion), at the cost of a longer
     compile; pass 1 to minimize compile time.
     """
+    def _inject_rows(h, prompt_row):
+        return jax.lax.dynamic_update_slice(
+            h,
+            jnp.broadcast_to(
+                prompt_row.astype(h.dtype)[None],
+                (h.shape[0], inject_n_ctx, h.shape[2]),
+            ),
+            (0, 1, 0),
+        )
+
+    if isinstance(blocks, (list, tuple)):
+        # Pre-sliced per-layer trees (ops.block.prepare_blocks): callers
+        # that run this transformer inside an OUTER scan (the windowed
+        # multi-step train program) pre-slice the stacked weights once
+        # per dispatch — leaving them stacked makes every outer-scan
+        # iteration re-slice (+ re-transpose, for the fused kernels) all
+        # L layers' weights, ~0.56 ms/step of loop-invariant work XLA
+        # does not hoist (measured, v5e xplane). Python loop = the
+        # unrolled scan with the slices gone.
+        block_fn = (jax.checkpoint(residual_block, prevent_cse=False,
+                                   static_argnums=(2, 4))
+                    if remat else residual_block)
+        for i, layer_p in enumerate(blocks):
+            if inject is not None and i >= 1:
+                x = _inject_rows(x, inject[i])
+            x = block_fn(x, layer_p, n_heads, mask, attn_fn)
+        return x
+
     def body(carry, xs):
         h = carry
         if inject is not None:
             layer_p, prompt_row = xs
-            h = jax.lax.dynamic_update_slice(
-                h,
-                jnp.broadcast_to(
-                    prompt_row.astype(h.dtype)[None],
-                    (h.shape[0], inject_n_ctx, h.shape[2]),
-                ),
-                (0, 1, 0),
-            )
+            h = _inject_rows(h, prompt_row)
         else:
             layer_p = xs
         h = residual_block(h, layer_p, n_heads, mask, attn_fn)

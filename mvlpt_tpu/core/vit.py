@@ -33,6 +33,57 @@ def patchify(images: jax.Array, patch_size: int) -> jax.Array:
     return x.reshape(b, gh * gw, patch_size * patch_size * c)
 
 
+def embed_image(
+    params: dict,
+    images: jax.Array,
+    patch_size: int,
+    normalize: tuple | None = None,
+) -> jax.Array:
+    """Frozen ViT stem: (B, H, W, 3) -> (B, 1+N, width) tokens after
+    ln_pre, BEFORE any VPT prompt insertion.
+
+    Split out of :func:`encode_image` so callers that stage K batches
+    per dispatch (windowed trainer / bench) can run the stem ONCE for
+    the whole window as one large batched matmul instead of per step
+    inside the scan — the stem involves no trainable parameter, so no
+    gradient ever flows through it (the reference's conv1/ln_pre are
+    frozen too, mvlpt.py:855-860).
+
+    ``normalize=(mean, std)``: ``images`` are raw uint8 pixels and the
+    CLIP preprocessing affine ``(x/255 - mean) / std`` is folded
+    ALGEBRAICALLY into the patch-embed contraction — per channel it is
+    ``a*x + b``, and ``(a⊙x) @ K + b_flat @ K  ==  x @ (a⊙K) + bias``
+    with the scaled kernel and bias computed once per call from the
+    frozen weights. Staging uint8 + folding halves H2D bytes and makes
+    device-side normalization free (no extra pass over the pixels)."""
+    kernel = params["patch_embed"]["kernel"]  # (P*P*C, W)
+    compute_dtype = kernel.dtype
+    if normalize is not None:
+        mean, std = (jnp.asarray(v, jnp.float32) for v in normalize)
+        a = 1.0 / (255.0 * std)       # (C,)
+        shift = -mean / std           # (C,)
+        c = images.shape[-1]
+        k32 = kernel.astype(jnp.float32).reshape(
+            patch_size * patch_size, c, -1)
+        k_scaled = (k32 * a[None, :, None]).reshape(
+            patch_size * patch_size * c, -1).astype(compute_dtype)
+        bias = jnp.sum(k32 * shift[None, :, None], axis=(0, 1))  # (W,)
+        x = patchify(images, patch_size).astype(compute_dtype)
+        x = layers._matmul(x, k_scaled, bias)
+    else:
+        x = patchify(images.astype(compute_dtype), patch_size)
+        x = layers._matmul(x, kernel)  # (B, N, W)
+
+    b = x.shape[0]
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(compute_dtype)[None, None, :],
+        (b, 1, x.shape[-1]),
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embedding"].astype(compute_dtype)[None]
+    return layers.layer_norm(x, params["ln_pre"])
+
+
 def encode_image(
     params: dict,
     images: jax.Array,
@@ -45,25 +96,24 @@ def encode_image(
     attn_fn: Callable | None = None,
     unroll: int | bool = True,
     return_tokens: bool = False,
+    pre_embedded: bool = False,
 ) -> jax.Array:
     """Encode NHWC images to (B, output_dim) features.
 
     ``vpt_shallow``: (1 or B, n_ctx, width) prompt tokens inserted after
     ln_pre. ``vpt_deep``: (L-1, n_ctx, width) per-layer replacement rows
     (already projected / dropped-out by the prompt learner).
+    ``pre_embedded``: ``images`` is already the (B, 1+N, width) token
+    output of :func:`embed_image` — skip the stem.
     """
-    compute_dtype = params["patch_embed"]["kernel"].dtype
-    x = patchify(images.astype(compute_dtype), patch_size)
-    x = layers._matmul(x, params["patch_embed"]["kernel"])  # (B, N, W)
-
-    b = x.shape[0]
-    cls = jnp.broadcast_to(
-        params["class_embedding"].astype(compute_dtype)[None, None, :],
-        (b, 1, x.shape[-1]),
-    )
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embedding"].astype(compute_dtype)[None]
-    x = layers.layer_norm(x, params["ln_pre"])
+    if pre_embedded:
+        x = images
+        b = x.shape[0]
+        compute_dtype = x.dtype
+    else:
+        x = embed_image(params, images, patch_size)
+        b = x.shape[0]
+        compute_dtype = x.dtype
 
     if vpt_shallow is not None:
         ctx = jnp.broadcast_to(

@@ -136,7 +136,11 @@ class DataLoader:
                 target = bs if self.host_shard is None else self.host_shard[1]
                 while len(rows) < target:  # pad eval tail to static shape
                     rows.append(rows[-1])
-                imgs = np.stack([r[0] for r in rows]).astype(np.float32)
+                imgs = np.stack([r[0] for r in rows])
+                if imgs.dtype != np.uint8:
+                    # uint8 = TPU.DEVICE_NORMALIZE staging (normalize is
+                    # folded on device); everything else ships fp32
+                    imgs = imgs.astype(np.float32)
                 labels = np.asarray([r[1] for r in rows])
                 batch = {"image": imgs, "label": labels, "n_valid": n_valid}
                 if self.multitask:

@@ -82,7 +82,8 @@ class CoopMultitaskDataManager:
                     size=cfg.INPUT.SIZE[0], mean=list(cfg.INPUT.PIXEL_MEAN),
                     std=list(cfg.INPUT.PIXEL_STD), seed=max(cfg.SEED, 0),
                     center_crop=True, drop_last=is_train, multitask=multitask,
-                    augment=is_train and not cfg.INPUT.NO_TRANSFORM)
+                    augment=is_train and not cfg.INPUT.NO_TRANSFORM,
+                    to_uint8=bool(cfg.TPU.DEVICE_NORMALIZE))
         else:
             tfm_train = T.build_transform(cfg, is_train=True)
             tfm_test = T.build_transform(cfg, is_train=False)
@@ -158,7 +159,7 @@ def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,
             std=list(cfg.INPUT.PIXEL_STD), seed=max(cfg.SEED, 0),
             center_crop=bool(cfg.DATASET.CENTER_CROP), drop_last=shuffle,
             multitask=multitask, augment=False,  # ELEVATER: no train aug
-            label_vectors=vectors)
+            label_vectors=vectors, to_uint8=bool(cfg.TPU.DEVICE_NORMALIZE))
     ds = _ElevaterDataset(items, transform, target_fn)
     return DataLoader(
         ds, batch_size=batch_size, shuffle=shuffle,

@@ -79,7 +79,7 @@ def rrc_params(h, w, seeds, scale=(0.08, 1.0), ratio=(0.75, 4.0 / 3.0)):
 def _build_dataset(paths, labels, domains, *, train, batch_size, size,
                    mean, std, seed, center_crop, interpolation="bicubic",
                    scale=(0.08, 1.0), ratio=(0.75, 4.0 / 3.0),
-                   drop_last=True, shuffle=None):
+                   drop_last=True, shuffle=None, to_uint8=False):
     import tensorflow as tf
 
     tf.config.set_visible_devices([], "GPU")  # host-only pipeline
@@ -146,8 +146,13 @@ def _build_dataset(paths, labels, domains, *, train, batch_size, size,
         return rec, img
 
     def normalize(rec, img):
-        img = tf.cast(img, tf.float32) / 255.0
-        img = (img - mean) / std
+        if to_uint8:
+            # TPU.DEVICE_NORMALIZE: ship raw uint8; the train step folds
+            # (x/255-mean)/std into the frozen patch-embed matmul
+            img = tf.saturate_cast(tf.round(img), tf.uint8)
+        else:
+            img = tf.cast(img, tf.float32) / 255.0
+            img = (img - mean) / std
         return {"image": img, "label": rec["label"], "task": rec["task"]}
 
     ds = ds.map(decode, num_parallel_calls=tf.data.AUTOTUNE)
@@ -165,7 +170,8 @@ class TFDataLoader:
                  size: int, mean, std, seed: int = 0, center_crop=True,
                  drop_last: bool = False, multitask: bool = False,
                  augment: bool | None = None,
-                 label_vectors: np.ndarray | None = None):
+                 label_vectors: np.ndarray | None = None,
+                 to_uint8: bool = False):
         self.items = items
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -175,6 +181,7 @@ class TFDataLoader:
         self._seed = seed
         self._epoch = 0
         self._size, self._mean, self._std = size, mean, std
+        self._to_uint8 = to_uint8
         self._center_crop = center_crop
         self._paths = [d.impath for d in items]
         if label_vectors is not None:
@@ -200,7 +207,8 @@ class TFDataLoader:
             self._paths, self._labels, self._domains, train=self.augment,
             batch_size=self.batch_size, size=self._size, mean=self._mean,
             std=self._std, seed=epoch_seed, center_crop=self._center_crop,
-            drop_last=self.drop_last or self.shuffle, shuffle=self.shuffle)
+            drop_last=self.drop_last or self.shuffle, shuffle=self.shuffle,
+            to_uint8=self._to_uint8)
 
     def __len__(self):
         n = len(self.items)
@@ -213,7 +221,10 @@ class TFDataLoader:
         self._epoch += 1
         for rec in ds.as_numpy_iterator():
             n_valid = len(rec["image"])
-            batch = {"image": rec["image"].astype(np.float32),
+            imgs = rec["image"]
+            if imgs.dtype != np.uint8:  # uint8 = device-side normalize
+                imgs = imgs.astype(np.float32)
+            batch = {"image": imgs,
                      "label": rec["label"], "n_valid": n_valid}
             if self.multitask:
                 batch["task"] = rec["task"]

@@ -38,7 +38,14 @@ _INTERP = {
 }
 
 
-def _to_array(img: Image.Image, mean, std) -> np.ndarray:
+def _to_array(img: Image.Image, mean, std, to_uint8: bool = False
+              ) -> np.ndarray:
+    if to_uint8:
+        # Device-side normalization mode (TPU.DEVICE_NORMALIZE): emit
+        # raw uint8 post-geometry pixels; the train step folds
+        # (x/255 - mean)/std into the frozen patch-embed matmul
+        # (core/vit.py:embed_image). Halves H2D bytes vs bf16/f32.
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
     arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
     arr = (arr - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
     return arr
@@ -69,12 +76,13 @@ class EvalTransform:
 
     def __init__(self, size=224, interpolation="bicubic",
                  mean=CLIP_PIXEL_MEAN, std=CLIP_PIXEL_STD,
-                 center_crop_mode=True):
+                 center_crop_mode=True, to_uint8=False):
         self.size = size if isinstance(size, int) else size[0]
         self.full_size = size if isinstance(size, tuple) else (size, size)
         self.interpolation = interpolation
         self.mean, self.std = mean, std
         self.center_crop_mode = center_crop_mode
+        self.to_uint8 = to_uint8
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         if self.center_crop_mode:
@@ -85,7 +93,7 @@ class EvalTransform:
             # PIL.resize takes (width, height)
             h, w = self.full_size
             img = img.resize((w, h), _INTERP[self.interpolation])
-        return _to_array(img, self.mean, self.std)
+        return _to_array(img, self.mean, self.std, self.to_uint8)
 
 
 class TrainTransform:
@@ -95,12 +103,13 @@ class TrainTransform:
     def __init__(self, size=224, interpolation="bicubic",
                  mean=CLIP_PIXEL_MEAN, std=CLIP_PIXEL_STD,
                  scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0),
-                 rng: random.Random | None = None):
+                 rng: random.Random | None = None, to_uint8=False):
         self.size = size if isinstance(size, int) else size[0]
         self.interpolation = interpolation
         self.mean, self.std = mean, std
         self.scale, self.ratio = scale, ratio
         self.rng = rng or random.Random()
+        self.to_uint8 = to_uint8
 
     def _sample_crop(self, w: int, h: int, rng: random.Random):
         area = w * h
@@ -136,7 +145,7 @@ class TrainTransform:
                          box=(x, y, x + cw, y + ch))
         if r.random() < 0.5:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
-        return _to_array(img, self.mean, self.std)
+        return _to_array(img, self.mean, self.std, self.to_uint8)
 
 
 def build_transform(cfg, is_train: bool):
@@ -148,6 +157,8 @@ def build_transform(cfg, is_train: bool):
         interpolation=cfg.INPUT.INTERPOLATION,
         mean=tuple(cfg.INPUT.PIXEL_MEAN),
         std=tuple(cfg.INPUT.PIXEL_STD),
+        to_uint8=bool(getattr(cfg.TPU, "DEVICE_NORMALIZE", False)
+                      if hasattr(cfg, "TPU") else False),
     )
     if is_train and not cfg.INPUT.NO_TRANSFORM and (
             "random_resized_crop" in cfg.INPUT.TRANSFORMS):

@@ -66,8 +66,36 @@ class MVLPTModel:
     # per call (None = auto: target ~4k rows/call, divisor of the batch).
     cocoop_chunk: int | None = None
 
+    def prepare_backbone(self, backbone):
+        """Pre-slice the stacked tower weights into per-layer trees
+        (+ the fused kernels' transposed qkv layout) —
+        ops.block.prepare_blocks. Call OUTSIDE a multi-step scan so the
+        per-step program carries no loop-invariant weight slicing; the
+        towers consume the list form transparently
+        (core/layers.py:transformer)."""
+        from mvlpt_tpu.ops.block import prepare_blocks
+
+        fused = bool(getattr(self.attn_fn, "fused_block", False))
+        out = dict(backbone)
+        for tower in ("visual", "text"):
+            t = dict(out[tower])
+            t["blocks"] = prepare_blocks(t["blocks"], fused=fused)
+            out[tower] = t
+        return out
+
+    def embed_image(self, backbone, images, normalize=None):
+        """Frozen ViT stem only (vit.embed_image): (B,H,W,3) ->
+        (B, 1+N, width) tokens. Lets windowed callers batch the stem
+        across K staged batches outside the per-step scan.
+        ``normalize=(mean,std)`` folds uint8→CLIP normalization into
+        the patch-embed matmul."""
+        return vit_mod.embed_image(
+            backbone["visual"], images,
+            patch_size=self.clip_cfg.vision_patch_size,
+            normalize=normalize)
+
     def encode_image(self, backbone, prompt_params, images, rng=None,
-                     vpt_shallow=None, vpt_deep=None):
+                     vpt_shallow=None, vpt_deep=None, pre_embedded=False):
         vpt_shallow, vpt_deep = vpt_prepare(
             prompt_params, self.spec, vpt_shallow, vpt_deep, rng)
         if vpt_shallow is not None:
@@ -83,6 +111,7 @@ class MVLPTModel:
             vpt_deep=vpt_deep,
             remat=self.remat,
             attn_fn=self.attn_fn,
+            pre_embedded=pre_embedded,
         )
 
     def encode_text_prompts(self, backbone, prompts, eot_idx):
@@ -106,13 +135,18 @@ class MVLPTModel:
         tasks: jax.Array | None = None,
         task_ranges: TaskClassRanges | None = None,
         rng: jax.Array | None = None,
+        pre_embedded: bool = False,
     ) -> jax.Array:
-        """Full forward -> (B, n_cls) fp32 logits (mvlpt.py:540-582)."""
+        """Full forward -> (B, n_cls) fp32 logits (mvlpt.py:540-582).
+
+        ``pre_embedded``: ``images`` is the (B, 1+N, width) output of
+        :meth:`embed_image` rather than raw NHWC pixels."""
         spec = self.spec
         coop_ctx, vpt_sh, vpt_dp = upt_couple(prompt_params, spec)
 
         image_features = self.encode_image(
-            backbone, prompt_params, images, rng, vpt_sh, vpt_dp)
+            backbone, prompt_params, images, rng, vpt_sh, vpt_dp,
+            pre_embedded=pre_embedded)
 
         if not spec.has_cocoop:
             prompts = coop_assemble(coop_ctx, consts, spec)

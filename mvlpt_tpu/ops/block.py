@@ -54,15 +54,32 @@ except ImportError:  # pragma: no cover
 
 class _FusedMarker:
     """Sentinel passed as ``attn_fn`` to select the fused-block path
-    (checked by core.layers.residual_block via the fused_block attr)."""
+    (checked by core.layers.residual_block via the fused_block attr).
+
+    ``auto_selected`` records whether the marker came from the 'auto'
+    config resolution: shape heuristics (e.g. the shallow-text-grid
+    fallback in core/text.py) may only override auto selections — an
+    explicitly forced TPU.USE_PALLAS='block' must stay in effect.
+    """
 
     fused_block = True
 
+    def __init__(self, auto_selected: bool = False, mesh=None):
+        self.auto_selected = auto_selected
+        # When set, core.layers.residual_block routes through
+        # fused_residual_block_sharded (shard_map over the mesh's
+        # "data" axis) — pallas_call needs explicit partitioning under
+        # a multi-device mesh.
+        self.mesh = mesh
+
     def __repr__(self):  # pragma: no cover
-        return "<fused-block kernels>"
+        return "<fused-block kernels%s%s>" % (
+            " (auto)" if self.auto_selected else "",
+            " (sharded)" if self.mesh is not None else "")
 
 
-FUSED = _FusedMarker()
+FUSED = _FusedMarker(auto_selected=False)
+FUSED_AUTO = _FusedMarker(auto_selected=True)
 
 _EPS = 1e-5
 
@@ -222,11 +239,40 @@ def _attn_bwd_kernel(x_ref, mu_ref, rstd_ref, qkvt_ref, p_ref,
 def _head_major(attn_p, n_heads):
     """(W, 3W) qkv weight -> (3W, W) with rows grouped q|k|v and, within
     each, contiguous per-head 64-row slabs (matches the kernel's
-    transposed sublane slicing); bias -> (3W, 1)."""
-    w = attn_p["qkv_w"].shape[0]
-    w3 = attn_p["qkv_w"].T  # (3W, W): rows already ordered (3, H, D)
+    transposed sublane slicing); bias -> (3W, 1).
+
+    ``qkv_wT``, when present (prepare_blocks), is the transpose already
+    materialized once outside the enclosing scan — using it here keeps
+    the per-step program free of the transpose."""
+    w3 = attn_p.get("qkv_wT")
+    if w3 is None:
+        w3 = attn_p["qkv_w"].T  # (3W, W): rows already ordered (3, H, D)
     b3 = attn_p["qkv_b"][:, None]  # (3W, 1)
     return w3, b3
+
+
+def prepare_blocks(blocks, fused: bool = True):
+    """Stacked (L, ...) transformer block params -> list of L per-layer
+    trees, with the fused kernels' transposed qkv layout materialized.
+
+    Purpose: windowed multi-step programs run the whole tower inside a
+    ``lax.scan`` over K batches; leaving the weights stacked makes every
+    scan iteration re-slice (and re-transpose) all L layers — ~0.56
+    ms/step of loop-invariant work XLA measurably does not hoist on
+    v5e. Pre-slicing outside the scan pays that cost once per dispatch.
+    core.layers.transformer consumes the list form with a Python loop
+    (identical math to the unrolled scan)."""
+    leaves = jax.tree_util.tree_leaves(blocks)
+    n_layers = leaves[0].shape[0]
+    out = []
+    for i in range(n_layers):
+        layer = jax.tree_util.tree_map(lambda p: p[i], blocks)
+        if fused and "attn" in layer:
+            attn = dict(layer["attn"])
+            attn["qkv_wT"] = attn["qkv_w"].T
+            layer = dict(layer, attn=attn)
+        out.append(layer)
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -429,6 +475,40 @@ def fused_residual_block(x, p, n_heads, mask=None):
     """Drop-in residual_block using the fused kernels."""
     x = attn_block(x, p["ln_1"], p["attn"], mask, n_heads)
     return mlp_block(x, p["ln_2"], p["mlp"])
+
+
+def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
+    """The fused block under a multi-device mesh.
+
+    ``pallas_call`` is opaque to GSPMD, so the kernels must declare
+    their own partitioning: the grid is one program per image (batch
+    axis), i.e. embarrassingly data-parallel — ``shard_map`` over the
+    mesh's "data" axis with replicated weights runs the SAME per-shard
+    kernel on each device's local batch rows, and autodiff maps the
+    hand-derived VJP kernels the same way. Rows that do not divide the
+    data axis (e.g. a replicated text tower whose row-blocks aren't a
+    multiple of dp) fall back to replicated specs — every device runs
+    the full grid, exactly what GSPMD would have picked for an
+    unpartitionable op. Tensor-parallel meshes keep the XLA path
+    (select_attn_fn returns None when model axis > 1)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_data = axes.get("data", 1)
+    xspec = P("data") if (n_data > 1 and x.shape[0] % n_data == 0) else P()
+
+    if mask is None:
+        fn = shard_map(
+            lambda x_l, p_l: fused_residual_block(x_l, p_l, n_heads, None),
+            mesh=mesh, in_specs=(xspec, P()), out_specs=xspec,
+            check_rep=False)
+        return fn(x, p)
+    fn = shard_map(
+        lambda x_l, p_l, m: fused_residual_block(x_l, p_l, n_heads, m),
+        mesh=mesh, in_specs=(xspec, P(), P()), out_specs=xspec,
+        check_rep=False)
+    return fn(x, p, mask)
 
 
 def available() -> bool:
