@@ -138,3 +138,137 @@ def test_full_model_with_fused_blocks():
         # grads scale with exp(logit_scale) ~1e2-1e3; compare relatively
         scale = max(1.0, float(np.max(np.abs(la))))
         np.testing.assert_allclose(lb / scale, la / scale, atol=2e-6)
+
+
+class TestShardedFusedBlock:
+    """fused_residual_block_sharded: shard_map over the 'data' axis on
+    an 8-device CPU mesh must match the unsharded kernel bit-for-bit
+    (same per-row math, just partitioned), for fwd and grads, for both
+    divisible (data-sharded) and non-divisible (replicated) batches."""
+
+    def _mesh(self, n_data=4, n_model=1):
+        from mvlpt_tpu.parallel import create_mesh
+
+        return create_mesh(n_data, n_model,
+                           devices=jax.devices()[: n_data * n_model])
+
+    @pytest.mark.parametrize("b,masked", [(8, False), (8, True), (6, False)])
+    def test_matches_unsharded(self, b, masked):
+        rng = np.random.RandomState(1)
+        s, w, h = 9, 32, 4
+        x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+        p = _params(rng, w)
+        mask = layers.causal_mask(s) if masked else None
+        mesh = self._mesh()
+
+        ref = bops.fused_residual_block(x, p, h, mask)
+        out = jax.jit(
+            lambda x_, p_: bops.fused_residual_block_sharded(
+                x_, p_, h, mask, mesh))(x, p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+    def test_grads_match_unsharded(self):
+        rng = np.random.RandomState(2)
+        b, s, w, h = 8, 9, 32, 4
+        x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+        p = _params(rng, w)
+        mesh = self._mesh()
+
+        def loss_plain(x_):
+            return jnp.sum(bops.fused_residual_block(x_, p, h, None) ** 2)
+
+        def loss_sharded(x_):
+            return jnp.sum(bops.fused_residual_block_sharded(
+                x_, p, h, None, mesh) ** 2)
+
+        g_ref = jax.grad(loss_plain)(x)
+        g = jax.jit(jax.grad(loss_sharded))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=2e-4, atol=1e-4)
+
+    def test_select_attn_fn_mesh_routing(self):
+        from mvlpt_tpu.ops.attention import select_attn_fn
+
+        mesh = self._mesh(4, 1)
+        marker = select_attn_fn("block", mesh=mesh)
+        assert getattr(marker, "fused_block", False)
+        assert marker.mesh is mesh
+        # TP mesh keeps the XLA path (kernels declare no model-axis
+        # partitioning)
+        tp_mesh = self._mesh(4, 2)
+        assert select_attn_fn("block", mesh=tp_mesh) is None
+        assert select_attn_fn("auto", mesh=tp_mesh) is None
+
+    def test_full_train_step_on_mesh_with_sharded_kernels(self):
+        """End-to-end: jitted windowed train step over a dp=4 mesh with
+        the shard_map-wrapped kernels matches the XLA-path step."""
+        from mvlpt_tpu.config import get_cfg_default
+        from mvlpt_tpu.core.clip import CLIPConfig, init_clip_params
+        from mvlpt_tpu.models.custom_clip import MVLPTModel
+        from mvlpt_tpu.ops.block import _FusedMarker
+        from mvlpt_tpu.parallel import (
+            backbone_partition_specs, batch_specs, put_tree_on_mesh)
+        from mvlpt_tpu.prompts import (
+            PromptSpec, build_prompt_consts, init_prompt_params)
+        from mvlpt_tpu.train.optim import build_optimizer
+        from mvlpt_tpu.train.train_step import (
+            init_train_state, make_train_step_multi)
+        import dataclasses
+
+        clip_cfg = CLIPConfig(
+            embed_dim=32, image_resolution=32, vision_layers=2,
+            vision_width=64, vision_patch_size=8, transformer_width=64,
+            transformer_heads=2, transformer_layers=2,
+            vision_heads_override=2)
+        backbone = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+        classnames = [f"c{i}" for i in range(6)]
+        spec = PromptSpec(
+            n_cls=6, coop_n_ctx=2, vpt_n_ctx=2, vpt_deep=True,
+            class_token_position="middle", project_method="transformer",
+            project_dim=16, context_length=8, vision_layers=2,
+            vision_width=64, text_width=64, embed_dim=32,
+            vision_patch_size=8)
+        pp = init_prompt_params(jax.random.PRNGKey(1), spec)
+        consts = build_prompt_consts(classnames, spec, backbone, jnp.float32)
+        mesh = self._mesh(4, 1)
+
+        cfg = get_cfg_default()
+        tx, _ = build_optimizer(cfg.OPTIM, steps_per_epoch=2)
+        rng_np = np.random.RandomState(3)
+        k, b = 2, 8
+        batches_np = {
+            "image": rng_np.randn(k, b, 32, 32, 3).astype(np.float32),
+            "label": rng_np.randint(0, 6, (k, b)),
+        }
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batches = {
+            kk: jax.device_put(v, NamedSharding(
+                mesh, P(None, "data") if np.ndim(v) >= 2 else P(None)))
+            for kk, v in batches_np.items()
+        }
+        backbone_s = put_tree_on_mesh(
+            backbone, backbone_partition_specs(backbone), mesh)
+        key = jax.random.PRNGKey(4)
+
+        model_xla = MVLPTModel(clip_cfg=clip_cfg, spec=spec,
+                               compute_dtype=jnp.float32)
+        step_xla = make_train_step_multi(model_xla, tx, donate=False,
+                                         pre_embed=True)
+        s_xla, m_xla = step_xla(init_train_state(pp, tx), backbone_s,
+                                consts, batches, key)
+
+        model_k = dataclasses.replace(
+            model_xla, attn_fn=_FusedMarker(mesh=mesh))
+        step_k = make_train_step_multi(model_k, tx, donate=False,
+                                       pre_embed=True)
+        s_k, m_k = step_k(init_train_state(pp, tx), backbone_s,
+                          consts, batches, key)
+
+        np.testing.assert_allclose(np.asarray(m_k["loss"]),
+                                   np.asarray(m_xla["loss"]), atol=1e-5)
+        for a, bb in zip(jax.tree_util.tree_leaves(s_k.prompt_params),
+                         jax.tree_util.tree_leaves(s_xla.prompt_params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                       rtol=5e-4, atol=2e-5)
