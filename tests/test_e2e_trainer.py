@@ -227,3 +227,28 @@ def test_single_task_multilabel_training(tmp_path):
     assert trainer.dm._metric_name == "11point_mAP"
     log = open(os.path.join(str(tmp_path / "out_ml"), "log.txt")).read()
     assert "11point_mAP" in log
+
+
+def test_device_normalize_windowed_training(tmp_path):
+    """TPU.DEVICE_NORMALIZE (uint8 loader batches, normalize folded into
+    the frozen stem) + STEPS_PER_DISPATCH windowed dispatch with a tail
+    (5 train batches, window 2 -> two full windows + 1 tail batch through
+    the single-step path), eval included — the full round-3 fast path."""
+    make_coop_dataset(tmp_path / "data")
+    out = str(tmp_path / "out_u8win")
+    trainer = _run([
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+        "--seed", "1", "--shots", "8", "--cut-contextlen",
+        *TINY_OPTS,
+        "TPU.DEVICE_NORMALIZE", "True",
+        "TRAIN.STEPS_PER_DISPATCH", "2",
+    ])
+    # loader produced uint8 (device-side normalization), training ran
+    batch = next(iter(trainer.train_loader_x))
+    assert batch["image"].dtype == np.uint8
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "results" in log
+    # best-val checkpointing worked through the uint8 eval path
+    assert os.path.exists(
+        os.path.join(out, "prompt_learner", "model-best.pth.tar"))
