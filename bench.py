@@ -5,39 +5,65 @@ UPT prompts (CoOp n_ctx=4 'middle' + deep VPT n_ctx=4 + transformer
 coupler, MVLPT.md:49-53), batch 32 (vit_b16.yaml:3), 100-class text
 tower with CUT_CONTEXTLEN, full forward-backward + SGD update per step.
 
-Measures the trainer's windowed-dispatch mode
-(TRAIN.STEPS_PER_DISPATCH / make_train_step_multi): K distinct staged
-batches run through one jitted lax.scan per dispatch, exactly as
-train/trainer.py:_run_epoch_windowed feeds real data. On this
-environment's tunneled TPU each separate execution pays ~1.4 ms of
-fixed service overhead (measured: async dispatch loop 1.0 ms/step host
-side vs 20.1 ms/step wall; device-side step is 18.6 ms) — windowing is
-the production answer, not a benchmark trick.
+What is measured, and how honestly:
+
+* **Steady-state step throughput** — the trainer's windowed-dispatch
+  path (TRAIN.STEPS_PER_DISPATCH): K=15 DISTINCT uint8 batches staged
+  per dispatch, stem pre-embedded outside the scan, CLIP normalization
+  folded into the frozen patch-embed matmul, per-dispatch weight prep
+  hoisted out of the scan — exactly the program
+  train/trainer.py:_run_epoch_windowed runs. Timed over chained
+  dispatches with a materializing fence (axon's block_until_ready does
+  not wait).
+* **H2D streaming** — measured separately and reported in the JSON
+  (``h2d_mbs``): this environment reaches the TPU through a network
+  tunnel whose host→device bandwidth measures ~17 MB/s, so per-step
+  transfer of fresh pixels (4.8 MB uint8/batch ≈ 275 ms at tunnel
+  speed vs an 18.7 ms step) cannot be hidden HERE — an environment
+  artifact three orders of magnitude below a real v5e host's PCIe DMA
+  (>10 GB/s, where the same batch costs ~0.5 ms against an 18.7 ms
+  step). What CAN be demonstrated on this tunnel is that transfers
+  overlap compute (``h2d_overlap``: fraction of the shorter leg hidden
+  when a window computes while a batch uploads), which is the property
+  production streaming relies on. The throughput number therefore uses
+  pre-staged distinct batches and the JSON carries the transfer story
+  explicitly rather than silently excluding it.
+* **MFU** — analytic matmul-FLOP count for the step
+  (mvlpt_tpu/utils/flops.py; the axon backend does not populate
+  ``cost_analysis()`` usefully) against the v5e bf16 peak
+  (~197 TFLOP/s), over measured wall time per step.
 
 The reference never measured throughput (SURVEY.md §6); BASELINE.json
 sets the target at >=5x A100-PyTorch per-chip. ``vs_baseline`` is
-reported against A100_PYTORCH_EST_IMG_S — an estimate of the reference
-PyTorch fp16 pipeline on one A100 for this exact config (documented in
-BASELINE.md; no GPU exists in this environment to measure it).
+reported against A100_PYTORCH_EST_IMG_S — an estimate for the
+reference PyTorch fp16 pipeline on one A100 for this exact config
+(documented in BASELINE.md; no GPU exists in this environment).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.
 """
 
 import json
 import time
 
 A100_PYTORCH_EST_IMG_S = 340.0  # see BASELINE.md "Throughput baseline"
+V5E_BF16_PEAK_FLOPS = 197e12    # per chip
 BATCH = 32
 N_CLS = 100
 WINDOW = 15     # steps per dispatch (TRAIN.STEPS_PER_DISPATCH)
-ROUNDS = 2      # timed dispatches -> WINDOW * ROUNDS measured steps
+ROUNDS = 3      # timed dispatches -> WINDOW * ROUNDS measured steps
 
 
 def main():
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    import jax.numpy as jnp
+    import numpy as np
+
     from __graft_entry__ import _flagship
     from mvlpt_tpu.config import get_cfg_default
+    from mvlpt_tpu.data.transforms import CLIP_PIXEL_MEAN, CLIP_PIXEL_STD
     from mvlpt_tpu.train.optim import build_optimizer
     from mvlpt_tpu.train.train_step import (
         init_train_state, make_train_step_multi)
@@ -50,18 +76,15 @@ def main():
     cfg.OPTIM.MAX_EPOCH = 200
     tx, _ = build_optimizer(cfg.OPTIM, steps_per_epoch=100)
     state = init_train_state(prompt_params, tx)
-    step = make_train_step_multi(model, tx)
-
-    import jax.numpy as jnp
-    import numpy as np
+    step = make_train_step_multi(
+        model, tx, pre_embed=True,
+        normalize=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD))
 
     rng_np = np.random.RandomState(0)
-    # distinct batches, staged in the model's compute dtype (the
-    # trainer's windowed path stages the same way)
+    host_u8 = rng_np.randint(
+        0, 256, (WINDOW, BATCH, 224, 224, 3)).astype(np.uint8)
     batches = {
-        "image": jnp.asarray(
-            rng_np.randn(WINDOW, BATCH, 224, 224, 3),
-            model.compute_dtype),
+        "image": jnp.asarray(host_u8),
         "label": jnp.asarray(
             rng_np.randint(0, N_CLS, (WINDOW, BATCH)), jnp.int32),
     }
@@ -71,6 +94,10 @@ def main():
         # wait; materializing the scalar is the only reliable fence.
         return float(jax.device_get(x))
 
+    def fence_arr(a):
+        return float(jax.device_get(jnp.sum(
+            a[..., :1, :1, :1].astype(jnp.float32))))
+
     key = jax.random.PRNGKey(0)
     keys = list(jax.random.split(key, ROUNDS + 2))
     state, m = step(state, backbone, consts, batches, keys[-1])  # compile
@@ -78,19 +105,64 @@ def main():
     state, m = step(state, backbone, consts, batches, keys[-2])  # warm
     sync(m["loss"][-1])
 
+    # ---- steady-state throughput (distinct staged batches per step) ----
     t0 = time.perf_counter()
     for i in range(ROUNDS):
         state, m = step(state, backbone, consts, batches, keys[i])
     sync(m["loss"][-1])  # fences the chain (dispatches depend sequentially)
     dt = time.perf_counter() - t0
-
     img_s = ROUNDS * WINDOW * BATCH / dt
-    print(json.dumps({
-        "metric": "prompt-tune images/sec/chip (ViT-B/16 UPT, batch 32, 100-cls)",
+    step_ms = dt / (ROUNDS * WINDOW) * 1e3
+
+    # ---- MFU: analytic matmul-FLOP count (utils/flops.py; XLA's
+    # cost_analysis() is not populated usefully by the axon backend) ----
+    from mvlpt_tpu.utils.flops import flagship_step_flops
+
+    flops_per_step = flagship_step_flops(batch=BATCH, n_cls=N_CLS)
+    mfu = flops_per_step / (step_ms / 1e3) / V5E_BF16_PEAK_FLOPS
+
+    # ---- H2D: tunnel bandwidth + compute/transfer overlap ----
+    one = host_u8[0]
+    d = jax.device_put(one)
+    fence_arr(d)  # warm the transfer path
+    t0 = time.perf_counter()
+    d = jax.device_put(one)
+    fence_arr(d)
+    t_put = time.perf_counter() - t0
+    h2d_mbs = one.nbytes / 1e6 / t_put
+
+    t0 = time.perf_counter()
+    state, m = step(state, backbone, consts, batches, keys[0])
+    sync(m["loss"][-1])
+    t_compute = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state, m = step(state, backbone, consts, batches, keys[1])
+    d = jax.device_put(one)       # uploads while the window computes
+    fence_arr(d)
+    sync(m["loss"][-1])
+    t_both = time.perf_counter() - t0
+    overlap = (t_compute + t_put - t_both) / max(1e-9, min(t_compute, t_put))
+    overlap = max(0.0, min(1.0, overlap))
+
+    out = {
+        "metric": ("prompt-tune images/sec/chip "
+                   "(ViT-B/16 UPT, batch 32, 100-cls)"),
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s / A100_PYTORCH_EST_IMG_S, 3),
-    }))
+        "device_ms": round(step_ms, 3),
+        "h2d_mbs": round(h2d_mbs, 1),
+        "h2d_overlap": round(overlap, 2),
+        "h2d_note": ("tunnel H2D is ~17 MB/s (environment artifact, "
+                     "~1000x below real v5e host DMA); streaming fresh "
+                     "pixels per step is transfer-bound HERE, so the "
+                     "headline uses pre-staged distinct batches and "
+                     "h2d_overlap shows transfers hide under compute"),
+    }
+    out["mfu"] = round(mfu, 4)
+    out["flops_per_step"] = int(flops_per_step)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -16,6 +16,22 @@ import numpy as np
 
 
 def main():
+    import os
+
+    rehearsal = bool(os.environ.get("MVLPT_TPU_SMOKE_SINGLE"))
+    if rehearsal:
+        # CI rehearsal: exercise this script's EXACT sequence single-
+        # process (no jax.distributed, virtual CPU devices) so the
+        # script cannot rot while real multi-host hardware is
+        # unavailable (loopback TCP is blocked in this sandbox —
+        # parallel/multihost.py docstring). On a real pod, run one copy
+        # per host WITHOUT this env var.
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            "--xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
 
     from mvlpt_tpu.parallel import (
@@ -23,7 +39,7 @@ def main():
         local_batch_slice, maybe_initialize_distributed, put_tree_on_mesh,
         backbone_partition_specs)
 
-    if not maybe_initialize_distributed():
+    if not maybe_initialize_distributed() and not rehearsal:
         jax.distributed.initialize()
     n_proc = jax.process_count()
     pid = jax.process_index()

@@ -193,3 +193,24 @@ def test_train_step_consumes_assembled_batch():
     assert np.isfinite(float(m1["loss"]))
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
                                rtol=1e-6)
+
+
+def test_smoke_script_single_process_rehearsal():
+    """scripts/multihost_smoke.py must stay runnable: execute its exact
+    command sequence single-process (MVLPT_TPU_SMOKE_SINGLE=1, 8 virtual
+    CPU devices, no jax.distributed) as a subprocess. On a real pod the
+    same script runs one copy per host without the env var — this keeps
+    it from rotting until such hardware exists (VERDICT r2 #8)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["MVLPT_TPU_SMOKE_SINGLE"] = "1"
+    env.pop("XLA_FLAGS", None)  # script sets its own device count
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/scripts/multihost_smoke.py"],
+        env=env, capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK loss=" in proc.stdout, proc.stdout[-2000:]
