@@ -49,8 +49,8 @@ A100_PYTORCH_EST_IMG_S = 340.0  # see BASELINE.md "Throughput baseline"
 V5E_BF16_PEAK_FLOPS = 197e12    # per chip
 BATCH = 32
 N_CLS = 100
-WINDOW = 15     # steps per dispatch (TRAIN.STEPS_PER_DISPATCH)
-ROUNDS = 3      # timed dispatches -> WINDOW * ROUNDS measured steps
+WINDOW = 30     # steps per dispatch (TRAIN.STEPS_PER_DISPATCH)
+ROUNDS = 2      # timed dispatches -> WINDOW * ROUNDS measured steps
 
 
 def main():

@@ -129,8 +129,9 @@ def get_cfg_default() -> CN:
     # ONE jitted lax.scan program (train/train_step.py:
     # make_train_step_multi). Amortizes per-dispatch host latency —
     # on the benched v5e it is the difference between 19.9 and
-    # 18.6 ms/step. 1 = classic one-dispatch-per-batch. Applies on a
-    # single device (the mesh path keeps per-batch dispatch).
+    # 18.5 ms/step. 1 = classic one-dispatch-per-batch. Works on a
+    # single device AND under a mesh (windows shard (None, "data"),
+    # trainer._stage_window), single- or multi-host.
     cfg.TRAIN.STEPS_PER_DISPATCH = 1
 
     # ------------------------------------------------------------------- test
