@@ -472,7 +472,14 @@ mlp_block.defvjp(_mlp_fwd, _mlp_bwd)
 
 
 def fused_residual_block(x, p, n_heads, mask=None):
-    """Drop-in residual_block using the fused kernels."""
+    """Drop-in residual_block using the fused half-block kernels.
+
+    Negative result, kept for the record (round 3): fusing BOTH halves
+    into one whole-layer program (saving the inter-half (B,S,W) HBM
+    round trip, ~30 MB/layer) measured SLOWER on v5e — 18.6 vs 18.5
+    ms/step on the flagship — the doubled per-program VMEM footprint
+    (both halves' weights + residuals resident) costs Mosaic more
+    pipelining overlap than the saved traffic buys."""
     x = attn_block(x, p["ln_1"], p["attn"], mask, n_heads)
     return mlp_block(x, p["ln_2"], p["mlp"])
 
