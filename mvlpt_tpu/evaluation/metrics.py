@@ -5,20 +5,20 @@ trainers/vision_benchmark/datasets/metrics.py: the four metrics the main
 path dispatches through ``get_metric`` (metrics.py:1281-1294 — accuracy,
 mean-per-class/balanced accuracy, 11-point mAP, roc_auc) plus the
 commonly used members of the evaluator zoo (top-k, threshold accuracy,
-F1, average precision, tag-wise accuracy, ECE).
+F1, average precision, tag-wise accuracy, ECE), group-wise reporting
+(GroupWiseEvaluator, :1163) and mean-Lp regression error
+(MeanLpErrorEvaluator, :1211).
 
-Deliberately NOT implemented — evaluators in the reference zoo that no
-MVLPT/ELEVATER code path can reach (nothing imports them outside
-metrics.py itself; get_metric never returns them, and the 25-task
-metadata only names accuracy/mean-per-class/11point_mAP/roc_auc):
-  * detection mAP: MeanAveragePrecisionEvaluatorForSingleIOU (:565),
-    ...ForMultipleIOUs (:692), CocoMeanAveragePrecisionEvaluator (:704)
-  * captioning: Bleu/METEOR/ROUGEL/CIDEr/SPICE evaluators (:935-989)
-  * matting: MeanIOU/ForegroundIOU/BoundaryMeanIOU/
-    BoundaryForegroundIOU/L1Error evaluators (:990-1162)
-  * GroupWiseEvaluator (:1163), MeanLpErrorEvaluator (:1211)
-Requesting one of these names raises KeyError from get_metric below,
-the same failure the reference produces for names outside its table.
+The rest of the reference's evaluator zoo lives in sibling modules:
+  * ``evaluation.detection`` — VOC/COCO detection mAP
+    (metrics.py:565-840)
+  * ``evaluation.caption``   — BLEU/ROUGE-L/CIDEr/METEOR
+    (metrics.py:901-989)
+  * ``evaluation.matting``   — IoU/boundary-IoU/L1 matting metrics
+    (metrics.py:990-1162)
+``get_metric`` still exposes exactly the names the reference's table
+does (metrics.py:1281-1294 plus this repo's documented extras); names
+outside it raise KeyError, the same failure the reference produces.
 
 All functions take (y_true, y_pred) where y_pred is (N, C) scores and
 y_true is (N,) int labels or (N, C) {0,1} indicators, matching how the
@@ -146,6 +146,38 @@ def ece_loss(y_true, y_pred, n_bins: int = 15) -> float:
         if mask.any():
             ece += abs(correct[mask].mean() - conf[mask].mean()) * mask.mean()
     return float(ece)
+
+
+def mean_lp_error(y_true, y_pred, p: int = 1) -> float:
+    """Mean Lp regression error: ``(sum |pred-true|^p)^(1/p) / N``
+    (MeanLpErrorEvaluator, metrics.py:1211-1248)."""
+    assert p > 0
+    y = np.asarray(y_true, np.float64)
+    pr = np.asarray(y_pred, np.float64)
+    assert y.shape == pr.shape and y.ndim == 1
+    if y.size == 0:
+        return 0.0
+    total = float(np.sum(np.abs(pr - y) ** p))
+    return float(total ** (1.0 / p) / y.size)
+
+
+def group_wise(metric_fn, y_true, y_pred, groups) -> dict:
+    """Apply ``metric_fn(y_true, y_pred)`` to each group separately
+    (GroupWiseEvaluator, metrics.py:1163-1208). ``groups`` is a length-N
+    sequence of hashable group ids; returns
+    ``{"group_wise_metrics": {group: metric_fn(...)}}``."""
+    y = np.asarray(y_true)
+    p = np.asarray(y_pred)
+    groups = list(groups)
+    assert len(groups) == len(y) == len(p)
+    by_group: dict = {}
+    for i, g in enumerate(groups):
+        by_group.setdefault(g, []).append(i)
+    return {
+        "group_wise_metrics": {
+            g: metric_fn(y[idx], p[idx]) for g, idx in by_group.items()
+        }
+    }
 
 
 _METRICS = {
