@@ -36,6 +36,14 @@ def cli():
     p.add_argument("--root", required=True)
     p.add_argument("--dataset", required=True, help="ELEVATER task name")
     p.add_argument("--backbone", default="ViT-B/32")
+    p.add_argument("--model", default=None,
+                   help="non-CLIP zoo model (models/zoo.py get_model: "
+                        "resnet18/50/..., vit_*/deit_*/mae_*/mocov3_*) — "
+                        "the reference's MODEL.NAME dispatch "
+                        "(feature.py:245-321). Image features only; text "
+                        "features need a CLIP backbone")
+    p.add_argument("--model-checkpoint", default=None,
+                   help="local torch state-dict for --model")
     p.add_argument("--output-dir", required=True)
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--shots", type=int, default=-1)
@@ -61,12 +69,20 @@ def cli():
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = args.batch_size
     cfg.freeze()
 
-    backbone, clip_cfg = load_clip_backbone(cfg, jnp.bfloat16)
-    dm = build_data_manager(cfg)
+    if args.model:
+        from mvlpt_tpu.models.zoo import get_model
 
-    @jax.jit
-    def visual(images):
-        return clip_core.encode_image(backbone, images, clip_cfg)
+        zoo = get_model(args.model, checkpoint=args.model_checkpoint,
+                        dtype=jnp.bfloat16)
+        visual = jax.jit(zoo.features)
+        backbone = clip_cfg = None
+    else:
+        backbone, clip_cfg = load_clip_backbone(cfg, jnp.bfloat16)
+
+        @jax.jit
+        def visual(images):
+            return clip_core.encode_image(backbone, images, clip_cfg)
+    dm = build_data_manager(cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)
     for split, loader in (("train", dm.train_loader_x), ("val", dm.val_loader),
@@ -88,6 +104,12 @@ def cli():
         print(f"{split}: {sum(len(l) for l in labels)} image features")
 
     # ---- text features: template averaging (+ optional knowledge rows)
+    if backbone is None:
+        # non-CLIP zoo model: no text tower (matches the reference —
+        # extract_text_features only runs for CLIP-family models,
+        # feature.py:410-535)
+        print(f"{args.model}: image features only (no text tower)")
+        return
     knowledge = {}
     for tsv in args.knowledge_tsv:
         with open(tsv) as f:
