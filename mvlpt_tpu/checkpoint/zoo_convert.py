@@ -138,6 +138,103 @@ def convert_std_vit(sd: dict, dtype=jnp.float32):
     return params, cfg
 
 
+def convert_effnet(sd: dict, dtype=jnp.float32):
+    """timm EfficientNet state dict -> (params, EffNetConfig) for
+    core/efficientnet.py:effnet_features.  Shape-driven: block counts,
+    kernel sizes, expansion and channel widths all come from the
+    tensors; only the per-stage stride pattern (1,2,2,2,1,2,1) is an
+    architecture constant (identical across B0-B7)."""
+    from mvlpt_tpu.core.efficientnet import EffNetConfig
+
+    sd = dict(sd)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = dict(sd["state_dict"])
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()
+              if k.startswith("module.")}
+
+    def conv(key):
+        return jnp.asarray(_np(sd.pop(key)).transpose(2, 3, 1, 0), dtype)
+
+    def bn(prefix):
+        out = {"scale": jnp.asarray(_np(sd.pop(f"{prefix}.weight")), dtype),
+               "bias": jnp.asarray(_np(sd.pop(f"{prefix}.bias")), dtype),
+               "mean": jnp.asarray(_np(sd.pop(f"{prefix}.running_mean")),
+                                   dtype),
+               "var": jnp.asarray(_np(sd.pop(f"{prefix}.running_var")),
+                                  dtype)}
+        sd.pop(f"{prefix}.num_batches_tracked", None)
+        return out
+
+    def se(prefix):
+        rw = _np(sd.pop(f"{prefix}.conv_reduce.weight"))[:, :, 0, 0]
+        ew = _np(sd.pop(f"{prefix}.conv_expand.weight"))[:, :, 0, 0]
+        return {"reduce_w": jnp.asarray(rw.T, dtype),
+                "reduce_b": jnp.asarray(
+                    _np(sd.pop(f"{prefix}.conv_reduce.bias")), dtype),
+                "expand_w": jnp.asarray(ew.T, dtype),
+                "expand_b": jnp.asarray(
+                    _np(sd.pop(f"{prefix}.conv_expand.bias")), dtype)}
+
+    n_stages = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(r"blocks\.(\d+)\.", k)))
+    strides = (1, 2, 2, 2, 1, 2, 1)
+    if n_stages != len(strides):
+        raise ValueError(
+            f"expected the 7-stage EfficientNet layout, got {n_stages}")
+
+    params = {"conv_stem": conv("conv_stem.weight"), "bn1": bn("bn1"),
+              "stages": []}
+    stem_ch = params["conv_stem"].shape[-1]
+    cfg_stages = []
+    c_in = stem_ch
+    for s_idx in range(n_stages):
+        n = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(rf"blocks\.{s_idx}\.(\d+)\.", k)))
+        stage = []
+        for j in range(n):
+            base = f"blocks.{s_idx}.{j}"
+            if f"{base}.conv_pwl.weight" in sd:  # InvertedResidual
+                p = {"conv_pw": conv(f"{base}.conv_pw.weight"),
+                     "bn1": bn(f"{base}.bn1"),
+                     "conv_dw": conv(f"{base}.conv_dw.weight"),
+                     "bn2": bn(f"{base}.bn2"),
+                     "se": se(f"{base}.se"),
+                     "conv_pwl": conv(f"{base}.conv_pwl.weight"),
+                     "bn3": bn(f"{base}.bn3")}
+                kernel = p["conv_dw"].shape[0]
+                expand = p["conv_pw"].shape[-1] // c_in
+                c_out = p["conv_pwl"].shape[-1]
+            else:  # DepthwiseSeparableConv (stage 0)
+                p = {"conv_dw": conv(f"{base}.conv_dw.weight"),
+                     "bn1": bn(f"{base}.bn1"),
+                     "se": se(f"{base}.se"),
+                     "conv_pw": conv(f"{base}.conv_pw.weight"),
+                     "bn2": bn(f"{base}.bn2")}
+                kernel = p["conv_dw"].shape[0]
+                expand = 1
+                c_out = p["conv_pw"].shape[-1]
+            stage.append(p)
+            if j == 0:
+                stage_spec = [n, kernel, strides[s_idx], expand, None]
+            c_in = c_out
+        stage_spec[4] = c_in
+        cfg_stages.append(tuple(stage_spec))
+        params["stages"].append(stage)
+    params["conv_head"] = conv("conv_head.weight")
+    params["bn2"] = bn("bn2")
+    head_ch = params["conv_head"].shape[-1]
+
+    leftover = [k for k in sd if not k.startswith("classifier.")]
+    if leftover:
+        raise ValueError(
+            f"unconsumed EfficientNet checkpoint keys: {leftover[:8]}")
+    # input resolution is not recoverable from shapes; 224 is only a
+    # default for preprocessing hints (the forward is resolution-agnostic)
+    return params, EffNetConfig(
+        stages=tuple(cfg_stages), stem_ch=stem_ch, head_ch=head_ch)
+
+
 def tv_resnet_config_from_state_dict(sd: dict) -> TVResNetConfig:
     sd = {k: v for k, v in sd.items()}
     bottleneck = "layer1.0.conv3.weight" in sd

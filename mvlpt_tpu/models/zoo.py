@@ -16,11 +16,12 @@ feature extractor instead of a mutated ``nn.Module``:
 * CLIP names (``ViT-B/32`` etc. or ``clip_*``) — the CLIP branch
   (feature.py:290-317), routed to the existing CLIP towers with
   ``feature_type`` choosing the image or text encoder.
-* ``efficientnet_*`` and the remaining timm families raise ValueError
-  with the same "please define" failure the reference raises
-  (feature.py:258), and ``declip_*``/``slip_*``/``filip_*``/``cls_*``
-  raise NameError-equivalent errors documenting that those reference
-  branches cannot run in-tree either.
+* ``efficientnet_b*`` — the timm efficientnet branch (feature.py:
+  252-254, EvalModel-wrapped pooled features), core/efficientnet.py.
+* Remaining timm families raise ValueError with the same "please
+  define" failure the reference raises (feature.py:258), and
+  ``declip_*``/``slip_*``/``filip_*``/``cls_*`` raise errors
+  documenting that those reference branches cannot run in-tree either.
 
 Checkpoints are local ``torch.save`` files (zero-egress environment —
 no torchvision/timm download hub here); ``checkpoint=None`` gives a
@@ -109,6 +110,28 @@ def _tv_resnet_model(name, checkpoint, dtype):
                     _IMAGENET_MEAN, _IMAGENET_STD)
 
 
+def _effnet_model(name, checkpoint, dtype):
+    from mvlpt_tpu.checkpoint.zoo_convert import convert_effnet
+    from mvlpt_tpu.core import efficientnet as eff
+
+    if checkpoint is not None:
+        params, cfg = convert_effnet(_load_torch_checkpoint(checkpoint),
+                                     dtype)
+    else:
+        if name not in eff.EFFNET_CONFIGS:
+            raise ValueError(
+                f"unknown efficientnet variant {name!r}; known: "
+                f"{sorted(eff.EFFNET_CONFIGS)} (or pass checkpoint=)")
+        cfg = eff.EFFNET_CONFIGS[name]
+        params = eff.init_effnet_params(jax.random.PRNGKey(0), cfg, dtype)
+
+    def features(images, params=params, cfg=cfg):
+        return eff.effnet_features(params, images, cfg)
+
+    return ZooModel(name, features, params, cfg.input_resolution,
+                    cfg.head_ch, _IMAGENET_MEAN, _IMAGENET_STD)
+
+
 def _clip_model(name, checkpoint, dtype, feature_type):
     import os
 
@@ -143,10 +166,18 @@ def get_model(name: str, checkpoint: str | None = None,
             or name.startswith("mae_") or name.startswith("mocov3_")):
         return _std_vit_model(name, checkpoint, dtype)
     if name.startswith("efficientnet"):
+        return _effnet_model(name, checkpoint, dtype)
+    if name.startswith("tf_efficientnet"):
+        raise ValueError(
+            f"{name!r}: TF-padded efficientnet checkpoints use asymmetric "
+            "SAME padding — load the native timm 'efficientnet_*' "
+            "checkpoints instead")
+    if any(name.startswith(p) for p in
+           ("resnest", "regnet", "mixnet", "mobilenet", "convnext")):
         raise ValueError(
             "Please define a Timm feature-extraction model "
             f"({name!r}: the reference's timm branch raises the same for "
-            "non-vit/deit families, feature.py:258)")
+            "families outside efficientnet/vit/deit, feature.py:258)")
     if (name.startswith("declip_") or name.startswith("slip_")
             or name.startswith("filip_") or name.startswith("defilip_")
             or name.startswith("cls_") or name.startswith("clip_yfcc_")):

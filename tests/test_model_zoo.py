@@ -283,6 +283,135 @@ def test_converters_reject_foreign_keys():
 
 
 # ---------------------------------------------------------------------------
+# efficientnet (timm layout)
+# ---------------------------------------------------------------------------
+
+class TimmSqueezeExcite(nn.Module):
+    def __init__(self, chs, rd):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(chs, rd, 1, bias=True)
+        self.act1 = nn.SiLU()
+        self.conv_expand = nn.Conv2d(rd, chs, 1, bias=True)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(self.act1(self.conv_reduce(s)))
+        return x * s.sigmoid()
+
+
+class TimmDsConv(nn.Module):  # timm DepthwiseSeparableConv naming
+    def __init__(self, cin, cout, k, stride, se_rd):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(cin, cin, k, stride, k // 2, groups=cin,
+                                 bias=False)
+        self.bn1 = nn.BatchNorm2d(cin)
+        self.act1 = nn.SiLU()
+        self.se = TimmSqueezeExcite(cin, se_rd)
+        self.conv_pw = nn.Conv2d(cin, cout, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.has_residual = cin == cout and stride == 1
+
+    def forward(self, x):
+        out = self.act1(self.bn1(self.conv_dw(x)))
+        out = self.se(out)
+        out = self.bn2(self.conv_pw(out))
+        return out + x if self.has_residual else out
+
+
+class TimmIrBlock(nn.Module):  # timm InvertedResidual naming
+    def __init__(self, cin, cout, k, stride, expand, se_rd):
+        super().__init__()
+        mid = cin * expand
+        self.conv_pw = nn.Conv2d(cin, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid)
+        self.act1 = nn.SiLU()
+        self.conv_dw = nn.Conv2d(mid, mid, k, stride, k // 2, groups=mid,
+                                 bias=False)
+        self.bn2 = nn.BatchNorm2d(mid)
+        self.act2 = nn.SiLU()
+        self.se = TimmSqueezeExcite(mid, se_rd)
+        self.conv_pwl = nn.Conv2d(mid, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.has_residual = cin == cout and stride == 1
+
+    def forward(self, x):
+        out = self.act1(self.bn1(self.conv_pw(x)))
+        out = self.act2(self.bn2(self.conv_dw(out)))
+        out = self.se(out)
+        out = self.bn3(self.conv_pwl(out))
+        return out + x if self.has_residual else out
+
+
+class TimmEffNetB0(nn.Module):
+    """timm efficientnet_b0 module/key layout (native-torch variant)."""
+
+    STAGES = ((1, 3, 1, 1, 16), (2, 3, 2, 6, 24), (2, 5, 2, 6, 40),
+              (3, 3, 2, 6, 80), (3, 5, 1, 6, 112), (4, 5, 2, 6, 192),
+              (1, 3, 1, 6, 320))
+
+    def __init__(self):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(32)
+        self.act1 = nn.SiLU()
+        stages = []
+        cin = 32
+        for (n, k, s, t, cout) in self.STAGES:
+            blocks = []
+            for j in range(n):
+                stride = s if j == 0 else 1
+                rd = max(1, cin // 4)  # se_ratio 0.25 of block input
+                if t == 1:
+                    blocks.append(TimmDsConv(cin, cout, k, stride, rd))
+                else:
+                    blocks.append(TimmIrBlock(cin, cout, k, stride, t, rd))
+                cin = cout
+            stages.append(nn.Sequential(*blocks))
+        self.blocks = nn.Sequential(*stages)
+        self.conv_head = nn.Conv2d(cin, 1280, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(1280)
+        self.act2 = nn.SiLU()
+        self.classifier = nn.Linear(1280, 10)  # dropped by EvalModel
+
+    def forward_features(self, x):
+        x = self.act1(self.bn1(self.conv_stem(x)))
+        x = self.blocks(x)
+        x = self.act2(self.bn2(self.conv_head(x)))
+        return x.mean((2, 3))
+
+
+def test_effnet_torch_parity():
+    torch.manual_seed(6)
+    rng = np.random.RandomState(6)
+    model = TimmEffNetB0().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(model, rng)
+        x = torch.randn(2, 3, 64, 64)
+        ref = model.forward_features(x).numpy()
+
+    from mvlpt_tpu.checkpoint.zoo_convert import convert_effnet
+    from mvlpt_tpu.core.efficientnet import (
+        EFFNET_CONFIGS, effnet_features)
+
+    params, cfg = convert_effnet(model.state_dict())
+    # shape-driven inference reproduces the published B0 table
+    assert cfg.stages == EFFNET_CONFIGS["efficientnet_b0"].stages
+    out = effnet_features(params, jnp.asarray(
+        x.numpy().transpose(0, 2, 3, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-5, rtol=1e-4)
+
+
+def test_get_model_efficientnet_random_init():
+    from mvlpt_tpu.models.zoo import get_model
+
+    z = get_model("efficientnet_b0")
+    assert z.feature_dim == 1280
+    feats = z.features(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert feats.shape == (1, 1280)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+# ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
 
@@ -315,7 +444,9 @@ def test_get_model_checkpoint_roundtrip(tmp_path):
 
 def test_get_model_reference_dead_branches_raise():
     with pytest.raises(ValueError, match="Timm feature-extraction"):
-        get_model("efficientnet_b0")
+        get_model("mixnet_s")
+    with pytest.raises(ValueError, match="asymmetric"):
+        get_model("tf_efficientnet_b0")
     with pytest.raises(ValueError, match="never imported"):
         get_model("declip_vitb32")
     with pytest.raises(ValueError, match="never imported"):
