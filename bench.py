@@ -8,13 +8,16 @@ tower with CUT_CONTEXTLEN, full forward-backward + SGD update per step.
 What is measured, and how honestly:
 
 * **Steady-state step throughput** — the trainer's windowed-dispatch
-  path (TRAIN.STEPS_PER_DISPATCH): K=15 DISTINCT uint8 batches staged
+  path (TRAIN.STEPS_PER_DISPATCH): K=120 DISTINCT uint8 batches staged
   per dispatch, stem pre-embedded outside the scan, CLIP normalization
   folded into the frozen patch-embed matmul, per-dispatch weight prep
   hoisted out of the scan — exactly the program
   train/trainer.py:_run_epoch_windowed runs. Timed over chained
   dispatches with a materializing fence (axon's block_until_ready does
-  not wait).
+  not wait). Window sweep (measured): W=1 ~19.9, W=30 18.53, W=60
+  18.11, W=120 17.90 ms/step — the 1.4 ms/dispatch service overhead
+  amortizes away; the trainer config default is W=60 (a 120-step
+  window needs 3840-sample epochs to fill).
 * **H2D streaming** — measured separately and reported in the JSON
   (``h2d_mbs``): this environment reaches the TPU through a network
   tunnel whose host→device bandwidth measures ~17 MB/s, so per-step
@@ -49,7 +52,7 @@ A100_PYTORCH_EST_IMG_S = 340.0  # see BASELINE.md "Throughput baseline"
 V5E_BF16_PEAK_FLOPS = 197e12    # per chip
 BATCH = 32
 N_CLS = 100
-WINDOW = 30     # steps per dispatch (TRAIN.STEPS_PER_DISPATCH)
+WINDOW = 120    # steps per dispatch (TRAIN.STEPS_PER_DISPATCH)
 ROUNDS = 2      # timed dispatches -> WINDOW * ROUNDS measured steps
 
 
