@@ -91,8 +91,19 @@ fwd = jax.jit(lambda pp: model(backbone, pp, consts, images))
 t_fwd = time_fn("full forward", fwd, prompt_params) if "fwd" in PARTS else t_fwd
 
 # 6. optimizer-only update
+import optax
+from mvlpt_tpu.train.train_step import TrainState
+
 g = jax.tree_util.tree_map(jnp.ones_like, prompt_params)
-opt = jax.jit(lambda s: s.apply_gradients(grads=g))
+
+
+def opt_update(s):
+    updates, opt_state = tx.update(g, s.opt_state, s.prompt_params)
+    return TrainState(optax.apply_updates(s.prompt_params, updates),
+                      opt_state, s.step + 1)
+
+
+opt = jax.jit(opt_update)
 if "opt" in PARTS:
     try:
         t_opt = time_fn("optimizer update", opt,
