@@ -250,6 +250,18 @@ class PromptTrainer:
         n_prompt = clip_core.count_params(self.prompt_params)
         n_clip = clip_core.count_params(self.backbone)
         print(f"Tunable Param: {n_prompt/1e6}M, Original CLIP {n_clip/1e6}M")
+        if n_prompt == 0:
+            # The reference defaults all MVLPT N_CTX knobs to 0
+            # (train.py:136,144,150) and relies on run scripts to set
+            # them; with none set, torch's optimizer constructor raises
+            # ("optimizer got an empty parameter list"). Match that
+            # loudly instead of silently training nothing.
+            raise ValueError(
+                "No tunable prompt parameters: all of "
+                "TRAINER.MVLPT.{COOP,VPT,COCOOP}.N_CTX are 0. Set at "
+                "least one (e.g. TRAINER.MVLPT.COOP.N_CTX 16, or both "
+                "COOP and VPT N_CTX for UPT) as the reference run "
+                "scripts do (scripts/mvlpt/main_mt_coopdata_cut.sh).")
 
         steps_per_epoch = max(1, len(self.train_loader_x))
         self.steps_per_epoch = steps_per_epoch

@@ -252,3 +252,23 @@ def test_device_normalize_windowed_training(tmp_path):
     # best-val checkpointing worked through the uint8 eval path
     assert os.path.exists(
         os.path.join(out, "prompt_learner", "model-best.pth.tar"))
+
+
+def test_zero_tunable_params_fails_loudly(tmp_path):
+    """With all MVLPT N_CTX knobs at their reference defaults (0 —
+    train.py:136,144,150), there is nothing to train; torch raises
+    'optimizer got an empty parameter list'. Our trainer must also fail
+    loudly rather than silently training nothing (grad_norm 0 forever)."""
+    make_coop_dataset(tmp_path / "data")
+    opts = [o for o in TINY_OPTS]
+    for key in ("TRAINER.MVLPT.COOP.N_CTX", "TRAINER.MVLPT.VPT.N_CTX"):
+        i = opts.index(key)
+        opts[i + 1] = "0"
+    with pytest.raises(ValueError, match="No tunable prompt parameters"):
+        _run([
+            "--root", str(tmp_path / "data"),
+            "--output-dir", str(tmp_path / "out_zero"),
+            "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+            "--seed", "1", "--shots", "2",
+            *opts,
+        ])
