@@ -36,7 +36,12 @@ def get_cfg_default() -> CN:
 
     # ------------------------------------------------------------- dataloader
     cfg.DATALOADER = CN()
-    cfg.DATALOADER.BACKEND = "python"  # "python" (PIL threads) | "tf" (tf.data)
+    # "python" (PIL threads) | "tf" (tf.data) | "native" (C++ decode/
+    # resample core, bit-identical to "python" — mvlpt_tpu/native/)
+    cfg.DATALOADER.BACKEND = "python"
+    # native backend only: decode JPEGs at the smallest M/8 DCT scale
+    # covering the output (large-photo speedup; not bit-identical)
+    cfg.DATALOADER.NATIVE_FAST_JPEG = False
     cfg.DATALOADER.NUM_WORKERS = 4
     cfg.DATALOADER.K_TRANSFORMS = 1
     cfg.DATALOADER.RETURN_IMG0 = False

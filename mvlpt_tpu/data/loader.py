@@ -41,7 +41,13 @@ class _TransformedDataset:
 
     def __getitem__(self, idx: int, rng: random.Random | None = None):
         d = self.items[idx]
-        img = _load_image(d.impath)
+        if getattr(self.transform, "wants_bytes", False):
+            # native backend: hand raw encoded bytes to the C pipeline
+            from mvlpt_tpu.data.zipio import read_bytes
+
+            img = read_bytes(d.impath)
+        else:
+            img = _load_image(d.impath)
         try:
             img = self.transform(img, rng=rng) if rng is not None else \
                 self.transform(img)

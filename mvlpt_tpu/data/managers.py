@@ -124,10 +124,15 @@ class _ElevaterDataset:
         return len(self.items)
 
     def __getitem__(self, idx):
-        from mvlpt_tpu.data.loader import _load_image
-
         it = self.items[idx]
-        img = self.transform(_load_image(it.impath))
+        if getattr(self.transform, "wants_bytes", False):
+            from mvlpt_tpu.data.zipio import read_bytes
+
+            img = self.transform(read_bytes(it.impath))
+        else:
+            from mvlpt_tpu.data.loader import _load_image
+
+            img = self.transform(_load_image(it.impath))
         return img, self.target_fn(it), it.task_id
 
 
@@ -136,10 +141,15 @@ def _elevater_transform(cfg):
     else a plain warp; no train-time augmentation (feature.py:539-553)."""
     size = cfg.INPUT.SIZE if not isinstance(cfg.INPUT.SIZE, int) else (
         cfg.INPUT.SIZE, cfg.INPUT.SIZE)
-    return T.EvalTransform(
+    _, eval_cls = T._transform_classes(cfg)
+    kw = {}
+    if cfg.DATALOADER.BACKEND == "native":
+        kw["fast_jpeg"] = bool(
+            getattr(cfg.DATALOADER, "NATIVE_FAST_JPEG", False))
+    return eval_cls(
         size=tuple(size), interpolation="bicubic",
         mean=tuple(cfg.INPUT.PIXEL_MEAN), std=tuple(cfg.INPUT.PIXEL_STD),
-        center_crop_mode=bool(cfg.DATASET.CENTER_CROP))
+        center_crop_mode=bool(cfg.DATASET.CENTER_CROP), **kw)
 
 
 def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,

@@ -148,11 +148,30 @@ class TrainTransform:
         return _to_array(img, self.mean, self.std, self.to_uint8)
 
 
+def _transform_classes(cfg):
+    """(train_cls, eval_cls) for the configured DATALOADER.BACKEND.
+    "native" selects the C++ decode/resample core (bit-identical outputs;
+    data/native_transform.py) and fails loudly when it cannot build."""
+    backend = getattr(getattr(cfg, "DATALOADER", None), "BACKEND", "python")
+    if backend != "native":
+        return TrainTransform, EvalTransform
+    from mvlpt_tpu import native
+    from mvlpt_tpu.data import native_transform as NT
+
+    if not native.available():
+        raise RuntimeError(
+            "DATALOADER.BACKEND 'native' requested but the C++ imagepipe "
+            "could not be built/loaded on this host (needs g++, libjpeg, "
+            "libpng). Use BACKEND 'python' or fix the toolchain.")
+    return NT.NativeTrainTransform, NT.NativeEvalTransform
+
+
 def build_transform(cfg, is_train: bool):
     """Transform factory from an INPUT config subtree (Dassl
     build_transform equivalent, used at mvlpt.py:650-658)."""
     size = tuple(cfg.INPUT.SIZE) if not isinstance(cfg.INPUT.SIZE, int) else (
         cfg.INPUT.SIZE, cfg.INPUT.SIZE)
+    train_cls, eval_cls = _transform_classes(cfg)
     kw = dict(
         interpolation=cfg.INPUT.INTERPOLATION,
         mean=tuple(cfg.INPUT.PIXEL_MEAN),
@@ -160,7 +179,10 @@ def build_transform(cfg, is_train: bool):
         to_uint8=bool(getattr(cfg.TPU, "DEVICE_NORMALIZE", False)
                       if hasattr(cfg, "TPU") else False),
     )
+    if cfg.DATALOADER.BACKEND == "native":
+        kw["fast_jpeg"] = bool(
+            getattr(cfg.DATALOADER, "NATIVE_FAST_JPEG", False))
     if is_train and not cfg.INPUT.NO_TRANSFORM and (
             "random_resized_crop" in cfg.INPUT.TRANSFORMS):
-        return TrainTransform(size=size[0], scale=tuple(cfg.INPUT.RRCROP_SCALE), **kw)
-    return EvalTransform(size=size[0], **kw)
+        return train_cls(size=size[0], scale=tuple(cfg.INPUT.RRCROP_SCALE), **kw)
+    return eval_cls(size=size[0], **kw)

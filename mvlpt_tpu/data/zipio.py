@@ -42,6 +42,10 @@ def _handle(archive: str) -> zipfile.ZipFile:
 
 
 def read_bytes(path: str) -> bytes:
+    """Raw file bytes from a plain path or a ``zip@member`` reference."""
+    if not is_zip_path(path):
+        with open(path, "rb") as f:
+            return f.read()
     archive, member = split_zip_path(path)
     return _handle(archive).read(member)
 

@@ -1,0 +1,267 @@
+"""Native C++ image pipeline (mvlpt_tpu/native) parity tests.
+
+The native backend must be *bit-identical* to the PIL backend — decode
+(same libjpeg-turbo/libpng code paths), resampling (Pillow's exact
+fixed-point convolution algorithm), RRC/flip RNG draw order, and the
+final normalize arithmetic. Every test here asserts exact equality, not
+tolerances."""
+
+import io
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mvlpt_tpu import native
+from mvlpt_tpu.data.native_transform import (
+    NativeEvalTransform,
+    NativeTrainTransform,
+)
+from mvlpt_tpu.data.transforms import EvalTransform, TrainTransform
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native imagepipe not buildable here")
+
+_PIL_FILTERS = {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+                "lanczos": Image.LANCZOS}
+
+
+def _rand_rgb(shape, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (*shape, 3),
+                                                np.uint8)
+
+
+def _encode(arr, fmt, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, fmt, **kw)
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------- decode
+
+def test_jpeg_decode_bit_exact():
+    for seed, shape, q in [(0, (48, 64), 90), (1, (131, 97), 75),
+                           (2, (17, 301), 100)]:
+        data = _encode(_rand_rgb(shape, seed), "JPEG", quality=q)
+        w, h = native.probe(data)
+        assert (w, h) == (shape[1], shape[0])
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(native.decode(data, w, h), ref)
+
+
+def test_jpeg_progressive_and_gray():
+    arr = _rand_rgb((60, 80), 3)
+    data = _encode(arr, "JPEG", quality=85, progressive=True)
+    w, h = native.probe(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(native.decode(data, w, h), ref)
+
+    gray = np.random.default_rng(4).integers(0, 256, (50, 70), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "JPEG", quality=92)
+    data = buf.getvalue()
+    w, h = native.probe(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(native.decode(data, w, h), ref)
+
+
+def test_png_decode_bit_exact():
+    arr = _rand_rgb((33, 57), 5)
+    data = _encode(arr, "PNG")
+    w, h = native.probe(data)
+    np.testing.assert_array_equal(native.decode(data, w, h), arr)
+
+    gray = np.random.default_rng(6).integers(0, 256, (40, 22), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "PNG")
+    data = buf.getvalue()
+    w, h = native.probe(data)
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(native.decode(data, w, h), ref)
+
+
+def test_unsupported_formats_probe_none():
+    arr = _rand_rgb((20, 20), 7)
+    pal = Image.fromarray(arr).convert("P")
+    buf = io.BytesIO()
+    pal.save(buf, "PNG")
+    assert native.probe(buf.getvalue()) is None  # palette -> PIL fallback
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "WEBP")
+    assert native.probe(buf.getvalue()) is None
+    rgba = Image.fromarray(arr).convert("RGBA")
+    buf = io.BytesIO()
+    rgba.save(buf, "PNG")
+    assert native.probe(buf.getvalue()) is None  # alpha -> PIL fallback
+    assert native.probe(b"not an image") is None
+
+
+# -------------------------------------------------------------- resample
+
+def test_resample_matches_pil_exactly():
+    arr = _rand_rgb((48, 64), 8)
+    img = Image.fromarray(arr)
+    for out in [(224, 224), (17, 31), (64, 48), (128, 24), (300, 7)]:
+        for name, pf in _PIL_FILTERS.items():
+            for box in [None, (3, 5, 60, 40), (0.5, 1.25, 63.5, 47.75),
+                        (10, 10, 11, 11)]:
+                ref = np.asarray(img.resize(out, pf, box=box))
+                got = native.resample(arr, box or (0, 0, 64, 48),
+                                      out[0], out[1], name)
+                np.testing.assert_array_equal(
+                    got, ref, err_msg=f"{out} {name} {box}")
+
+
+def test_resample_identity_and_errors():
+    arr = _rand_rgb((16, 16), 9)
+    np.testing.assert_array_equal(
+        native.resample(arr, (0, 0, 16, 16), 16, 16, "bicubic"), arr)
+    with pytest.raises(ValueError):
+        native.resample(arr, (0, 0, 20, 16), 8, 8, "bicubic")  # box OOB
+    with pytest.raises(ValueError):
+        native.resample(arr.astype(np.float32), (0, 0, 16, 16), 8, 8,
+                        "bicubic")
+
+
+# ------------------------------------------------------------ transforms
+
+def _both_train(data, size=32, to_uint8=False, seed=123):
+    kw = dict(size=size, to_uint8=to_uint8)
+    a = TrainTransform(**kw)(Image.open(io.BytesIO(data)),
+                             rng=random.Random(seed))
+    b = NativeTrainTransform(**kw)(data, rng=random.Random(seed))
+    return a, b
+
+
+def test_train_transform_parity_jpeg():
+    data = _encode(_rand_rgb((90, 120), 10), "JPEG", quality=95)
+    for seed in range(6):  # several seeds -> both flip branches, crops
+        for u8 in (False, True):
+            a, b = _both_train(data, to_uint8=u8, seed=seed)
+            assert a.dtype == b.dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_transform_parity_fallback_format():
+    # WEBP is off the native fast path: must fall back to PIL and still
+    # produce the identical array for the identical rng
+    buf = io.BytesIO()
+    Image.fromarray(_rand_rgb((64, 64), 11)).save(buf, "WEBP", lossless=True)
+    data = buf.getvalue()
+    for seed in range(3):
+        a, b = _both_train(data, seed=seed)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_transform_parity():
+    for shape in [(90, 120), (120, 90), (31, 224), (224, 224), (500, 35)]:
+        data = _encode(_rand_rgb(shape, sum(shape)), "JPEG", quality=92)
+        img = Image.open(io.BytesIO(data))
+        for size in (32, 224, 33):
+            a = EvalTransform(size=size)(img)
+            b = NativeEvalTransform(size=size)(data)
+            np.testing.assert_array_equal(a, b)
+        # ELEVATER warp mode (center_crop_mode=False), incl. rectangular
+        for size in ((64, 64), (48, 80)):
+            a = EvalTransform(size=size, center_crop_mode=False)(img)
+            b = NativeEvalTransform(size=size, center_crop_mode=False)(data)
+            np.testing.assert_array_equal(a, b)
+
+
+def test_eval_transform_gray_png_parity():
+    gray = np.random.default_rng(13).integers(0, 256, (77, 118), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "PNG")
+    data = buf.getvalue()
+    a = EvalTransform(size=48)(Image.open(io.BytesIO(data)))
+    b = NativeEvalTransform(size=48)(data)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fast_jpeg_mode():
+    # fast mode: DCT-scaled decode for large JPEGs — same shapes, close
+    # pixels (documented as not bit-identical), and the augmentation RNG
+    # stream must be unchanged (crop params sampled in original coords)
+    small = _rand_rgb((96, 128), 12)
+    big = np.asarray(Image.fromarray(small).resize((1024, 768),
+                                                   Image.BICUBIC))
+    data = _encode(big, "JPEG", quality=90)
+
+    exact = NativeTrainTransform(size=64, to_uint8=True)
+    fast = NativeTrainTransform(size=64, to_uint8=True, fast_jpeg=True)
+    for seed in range(4):
+        a = np.asarray(exact(data, rng=random.Random(seed)))
+        b = np.asarray(fast(data, rng=random.Random(seed)))
+        assert a.shape == b.shape == (64, 64, 3)
+        # same crop/flip -> small decode-scale differences only
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 8.0
+
+    ev_exact = NativeEvalTransform(size=64, to_uint8=True)(data)
+    ev_fast = NativeEvalTransform(size=64, to_uint8=True,
+                                  fast_jpeg=True)(data)
+    assert ev_fast.shape == (64, 64, 3)
+    assert np.abs(ev_exact.astype(int) - ev_fast.astype(int)).mean() < 8.0
+
+    # rng draw alignment with the PIL path survives fast mode: the draw
+    # AFTER the transform must be identical across all three backends
+    streams = []
+    for t in (TrainTransform(size=64),):
+        r = random.Random(7)
+        t(Image.open(io.BytesIO(data)), rng=r)
+        streams.append(r.random())
+    for t in (exact, fast):
+        r = random.Random(7)
+        t(data, rng=r)
+        streams.append(r.random())
+    assert streams[0] == streams[1] == streams[2]
+
+
+# ------------------------------------------------------- loader / config
+
+def test_native_backend_end_to_end(tmp_path):
+    from mvlpt_tpu.config.defaults import get_cfg_default
+    from mvlpt_tpu.data.loader import build_data_loader
+    from mvlpt_tpu.data.datum import Datum
+    from mvlpt_tpu.data.transforms import build_transform
+
+    items = []
+    rng = np.random.default_rng(14)
+    for i in range(10):
+        p = tmp_path / f"im_{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (40 + i, 50, 3),
+                                     np.uint8)).save(p, quality=90)
+        items.append(Datum(impath=str(p), label=i % 3))
+
+    def batches(backend, is_train):
+        cfg = get_cfg_default()
+        cfg.defrost()
+        cfg.DATALOADER.BACKEND = backend
+        cfg.DATALOADER.NUM_WORKERS = 2
+        cfg.INPUT.SIZE = (32, 32)
+        cfg.INPUT.TRANSFORMS = ("random_resized_crop", "random_flip",
+                                "normalize")
+        cfg.SEED = 3
+        tfm = build_transform(cfg, is_train=is_train)
+        loader = build_data_loader(cfg, items, 4, tfm, is_train=is_train)
+        return list(loader)
+
+    for is_train in (True, False):
+        ref = batches("python", is_train)
+        got = batches("native", is_train)
+        assert len(ref) == len(got) and len(ref) > 0
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r["image"], g["image"])
+            np.testing.assert_array_equal(r["label"], g["label"])
+
+
+def test_native_backend_fails_loudly_when_unavailable(monkeypatch):
+    from mvlpt_tpu.config.defaults import get_cfg_default
+    from mvlpt_tpu.data.transforms import build_transform
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    cfg = get_cfg_default()
+    cfg.defrost()
+    cfg.DATALOADER.BACKEND = "native"
+    with pytest.raises(RuntimeError, match="native"):
+        build_transform(cfg, is_train=False)
