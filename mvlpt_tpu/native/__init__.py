@@ -50,10 +50,11 @@ def _cache_dir() -> Path:
     return Path.home() / ".cache" / "mvlpt_tpu" / "native"
 
 
-def _build() -> Path:
-    src = _SRC.read_bytes()
+def _build(src_path: Path = _SRC, stem: str = "imagepipe",
+           link: tuple[str, ...] = ("-ljpeg", "-lpng")) -> Path:
+    src = src_path.read_bytes()
     tag = hashlib.sha256(src).hexdigest()[:16]
-    out = _cache_dir() / f"libimagepipe-{tag}.so"
+    out = _cache_dir() / f"lib{stem}-{tag}.so"
     if out.exists():
         return out
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -61,8 +62,8 @@ def _build() -> Path:
             suffix=".so", dir=out.parent, delete=False) as tmp:
         tmp_path = Path(tmp.name)
     cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", str(_SRC),
-        "-o", str(tmp_path), "-ljpeg", "-lpng",
+        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", str(src_path),
+        "-o", str(tmp_path), *link,
     ]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
@@ -73,7 +74,7 @@ def _build() -> Path:
     if proc.returncode != 0:
         tmp_path.unlink(missing_ok=True)
         raise NativeUnavailable(
-            f"native imagepipe build failed:\n{proc.stderr[-2000:]}")
+            f"native {stem} build failed:\n{proc.stderr[-2000:]}")
     os.replace(tmp_path, out)  # atomic: concurrent builders race safely
     return out
 
@@ -177,6 +178,62 @@ def decode_jpeg_scaled(data: bytes, num: int) -> np.ndarray | None:
     rc = lib.mvlpt_decode_jpeg_scaled(_buf_ptr(data), len(data), num,
                                       _as_u8p(out), w.value, h.value)
     return out if rc == OK else None
+
+
+# ------------------------------------------------------------- tokenizer
+
+_BPE_SRC = Path(__file__).with_name("bpetok.cpp")
+
+
+class NativeBpe:
+    """C BPE core (bpetok.cpp): word split + greedy merges for cleaned
+    lowercase ASCII text, bit-identical ids to the Python encoder.
+    ``encode`` returns None when the input needs the Python path."""
+
+    def __init__(self, merges_text: bytes):
+        try:
+            self._lib = ctypes.CDLL(
+                str(_build(_BPE_SRC, "bpetok", link=())))
+        except NativeUnavailable:
+            raise
+        lib = self._lib
+        lib.mvlpt_bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.mvlpt_bpe_create.restype = ctypes.c_void_p
+        lib.mvlpt_bpe_destroy.argtypes = [ctypes.c_void_p]
+        lib.mvlpt_bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ]
+        lib.mvlpt_bpe_encode.restype = ctypes.c_int32
+        for name in ("mvlpt_bpe_sot", "mvlpt_bpe_eot"):
+            fn = getattr(lib, name)
+            fn.argtypes = [ctypes.c_void_p]
+            fn.restype = ctypes.c_int32
+        self._h = lib.mvlpt_bpe_create(merges_text, len(merges_text))
+        if not self._h:
+            raise NativeUnavailable("BPE vocab parse failed in native core")
+        self.sot = lib.mvlpt_bpe_sot(self._h)
+        self.eot = lib.mvlpt_bpe_eot(self._h)
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.mvlpt_bpe_destroy(h)
+            self._h = None
+
+    def encode(self, cleaned_ascii: str) -> list[int] | None:
+        data = cleaned_ascii.encode("ascii", errors="strict")
+        cap = max(64, 4 * len(data) + 8)
+        buf = (ctypes.c_int32 * cap)()
+        n = self._lib.mvlpt_bpe_encode(self._h, data, len(data), buf, cap)
+        if n == -1:  # buffer too small (pathological) — one retry
+            cap = 16 * max(1, len(data))
+            buf = (ctypes.c_int32 * cap)()
+            n = self._lib.mvlpt_bpe_encode(self._h, data, len(data), buf,
+                                           cap)
+        if n < 0:
+            return None
+        return list(buf[:n])
 
 
 def resample(arr: np.ndarray, box: tuple[float, float, float, float],

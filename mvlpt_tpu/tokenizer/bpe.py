@@ -86,10 +86,14 @@ def _byte_to_unicode() -> dict[int, str]:
     return dict(zip(keep, (chr(c) for c in chars)))
 
 
+_WS_PAT = re.compile(r"\s+")  # precompiled: regex.sub() re-resolves
+# flags on every call, which dominates encode() once BPE itself is native
+
+
 def _clean_text(text: str) -> str:
     text = unicodedata.normalize("NFC", text)
     text = html.unescape(html.unescape(text))
-    text = re.sub(r"\s+", " ", text)
+    text = _WS_PAT.sub(" ", text)
     return text.strip()
 
 
@@ -99,7 +103,8 @@ class ClipBpeTokenizer:
     def __init__(self, bpe_path: str | None = None):
         bpe_path = bpe_path or find_bpe_vocab()
         with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
-            lines = f.read().split("\n")
+            raw = f.read()
+        lines = raw.split("\n")
         merge_lines = lines[1 : _NUM_MERGES + 1]
         assert len(merge_lines) == _NUM_MERGES, len(merge_lines)
         merges = [tuple(line.split()) for line in merge_lines]
@@ -121,6 +126,21 @@ class ClipBpeTokenizer:
             r"""[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
             re.IGNORECASE,
         )
+
+        # Native C fast path for cleaned lowercase ASCII (the common
+        # case: every benchmark classname/template). Bit-identical ids
+        # (tests/test_native_bpe.py); Python handles everything else.
+        self._native = None
+        if not os.environ.get("MVLPT_TPU_NO_NATIVE_BPE"):
+            try:
+                from mvlpt_tpu import native as _native_mod
+
+                self._native = _native_mod.NativeBpe(
+                    raw.encode("utf-8"))
+                assert self._native.sot == self.sot_token
+                assert self._native.eot == self.eot_token
+            except Exception:  # toolchain-less host: silent Python path
+                self._native = None
 
     @property
     def sot_token(self) -> int:
@@ -165,6 +185,10 @@ class ClipBpeTokenizer:
     def encode(self, text: str) -> list[int]:
         ids: list[int] = []
         text = _clean_text(text).lower()
+        if self._native is not None and text.isascii():
+            native_ids = self._native.encode(text)
+            if native_ids is not None:
+                return native_ids
         for word in re.findall(self._word_pat, text):
             word = "".join(self._byte_enc[b] for b in word.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._apply_bpe(word).split(" "))
