@@ -255,6 +255,37 @@ def test_native_backend_end_to_end(tmp_path):
             np.testing.assert_array_equal(r["label"], g["label"])
 
 
+def test_native_backend_composes_with_host_shards(tmp_path):
+    # multi-host decode sharding keys augmentation on the GLOBAL index;
+    # the native transform must preserve that (shards reassemble to the
+    # exact single-host batches, bit-for-bit)
+    from mvlpt_tpu.data.loader import DataLoader, _TransformedDataset
+    from mvlpt_tpu.data.datum import Datum
+    from mvlpt_tpu.data.native_transform import NativeTrainTransform
+
+    items = []
+    rng = np.random.default_rng(15)
+    for i in range(16):
+        p = tmp_path / f"im_{i}.jpg"
+        Image.fromarray(rng.integers(0, 256, (48, 36, 3),
+                                     np.uint8)).save(p, quality=90)
+        items.append(Datum(impath=str(p), label=i % 4))
+
+    def epoch(host_shard):
+        ds = _TransformedDataset(items, NativeTrainTransform(size=24,
+                                                             to_uint8=True))
+        return list(DataLoader(ds, batch_size=8, shuffle=True,
+                               num_workers=0, seed=5, drop_last=True,
+                               host_shard=host_shard))
+
+    full = epoch(None)
+    shards = [epoch((h * 4, 4)) for h in range(2)]
+    assert len(full) == len(shards[0]) > 0
+    for b, gbatch in enumerate(full):
+        merged = np.concatenate([shards[h][b]["image"] for h in range(2)])
+        np.testing.assert_array_equal(merged, gbatch["image"])
+
+
 def test_native_backend_fails_loudly_when_unavailable(monkeypatch):
     from mvlpt_tpu.config.defaults import get_cfg_default
     from mvlpt_tpu.data.transforms import build_transform
