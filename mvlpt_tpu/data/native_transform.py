@@ -30,6 +30,7 @@ from mvlpt_tpu.data.transforms import (
     _to_array,
     EvalTransform,
     TrainTransform,
+    resized_shorter_dims,
 )
 
 
@@ -37,19 +38,11 @@ def _finalize(arr: np.ndarray, mean, std, to_uint8: bool) -> np.ndarray:
     """Numpy mirror of transforms._to_array on an already-RGB uint8 array
     (same op order -> bit-identical floats)."""
     if to_uint8:
-        return arr
+        # copy: crop/flip views would otherwise pin the full decoded
+        # buffer until the whole batch is stacked
+        return np.ascontiguousarray(arr)
     a = np.asarray(arr, dtype=np.float32) / 255.0
     return (a - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
-
-
-def resized_shorter_dims(w: int, h: int, size: int) -> tuple[int, int]:
-    """Output dims of transforms.resize_shorter (shared so the native path
-    reproduces the exact same Python round() banker's rounding)."""
-    if (w <= h and w == size) or (h <= w and h == size):
-        return w, h
-    if w < h:
-        return size, max(1, int(round(size * h / w)))
-    return max(1, int(round(size * w / h))), size
 
 
 def _scale_num(need_w: float, need_h: float, out_w: int, out_h: int) -> int:

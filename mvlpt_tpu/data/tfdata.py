@@ -106,11 +106,7 @@ def _build_dataset(paths, labels, domains, *, train, batch_size, size,
     has_zip = any(is_zip_path(str(p)) for p in paths)
 
     def _np_read(p):
-        p = p.decode() if isinstance(p, bytes) else str(p)
-        if is_zip_path(p):
-            return read_bytes(p)
-        with open(p, "rb") as f:
-            return f.read()
+        return read_bytes(p.decode() if isinstance(p, bytes) else str(p))
 
     def decode(rec):
         if has_zip:

@@ -51,13 +51,23 @@ def _to_array(img: Image.Image, mean, std, to_uint8: bool = False
     return arr
 
 
+def resized_shorter_dims(w: int, h: int, size: int) -> tuple[int, int]:
+    """Output dims of resize_shorter — the single source of the rounding
+    (Python round() banker's semantics) shared with the native backend so
+    both stay bit-identical."""
+    if (w <= h and w == size) or (h <= w and h == size):
+        return w, h
+    if w < h:
+        return size, max(1, int(round(size * h / w)))
+    return max(1, int(round(size * w / h))), size
+
+
 def resize_shorter(img: Image.Image, size: int, interpolation="bicubic") -> Image.Image:
     w, h = img.size
-    if (w <= h and w == size) or (h <= w and h == size):
+    new_w, new_h = resized_shorter_dims(w, h, size)
+    if (new_w, new_h) == (w, h):
         return img
-    if w < h:
-        return img.resize((size, max(1, int(round(size * h / w)))), _INTERP[interpolation])
-    return img.resize((max(1, int(round(size * w / h))), size), _INTERP[interpolation])
+    return img.resize((new_w, new_h), _INTERP[interpolation])
 
 
 def center_crop(img: Image.Image, size: int) -> Image.Image:

@@ -150,6 +150,13 @@ def probe(data: bytes) -> tuple[int, int] | None:
                          ctypes.byref(h), ctypes.byref(fmt))
     if rc != OK or w.value <= 0 or h.value <= 0:
         return None
+    # honor PIL's decompression-bomb guard: oversize headers route to
+    # the PIL path, which warns/raises exactly as the python backend
+    from PIL import Image
+
+    max_pixels = Image.MAX_IMAGE_PIXELS
+    if max_pixels is not None and w.value * h.value > max_pixels:
+        return None
     return w.value, h.value
 
 

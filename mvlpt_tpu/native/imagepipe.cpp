@@ -57,7 +57,13 @@ static void err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-static void err_silent(j_common_ptr, int) {}
+static void err_silent(j_common_ptr cinfo, int msg_level) {
+  // keep libjpeg's warning count (msg_level -1 = corrupt-data warning)
+  // without printing; decode checks num_warnings and reports CORRUPT so
+  // truncated-but-recoverable files go to PIL, which raises loudly like
+  // the python backend does
+  if (msg_level < 0) cinfo->err->num_warnings++;
+}
 static void err_silent_msg(j_common_ptr) {}
 
 static int jpeg_supported_space(J_COLOR_SPACE cs) {
@@ -125,8 +131,9 @@ static int decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out,
     jpeg_read_scanlines(&ci, &row, 1);
   }
   jpeg_finish_decompress(&ci);
+  bool corrupt = ci.err->num_warnings != 0;
   jpeg_destroy_decompress(&ci);
-  return MVLPT_OK;
+  return corrupt ? MVLPT_CORRUPT : MVLPT_OK;
 }
 
 // ---------------------------------------------------------------------------
@@ -138,9 +145,11 @@ static uint32_t be32(const uint8_t* p) {
          (uint32_t(p[2]) << 8) | uint32_t(p[3]);
 }
 
-// Fast path: 8-bit-or-less gray / 8-bit RGB, non-interlaced, no tRNS.
-// (Palette, alpha, tRNS and 16-bit go to PIL: PIL's convert("RGB") drops
-// alpha rather than compositing, which the libpng transforms don't match.)
+// Fast path: 8-bit gray / 8-bit RGB, non-interlaced, no tRNS.
+// Everything else goes to PIL: convert("RGB") drops alpha rather than
+// compositing (which the libpng transforms don't match), and PIL opens
+// 1-bit PNGs as mode "1", which its resize() forces to NEAREST — so
+// sub-8-bit depths are not bit-reproducible on this path either.
 static int probe_png(const uint8_t* data, int64_t len, int32_t* w,
                      int32_t* h) {
   if (len < 33 || std::memcmp(data + 12, "IHDR", 4) != 0)
@@ -149,13 +158,8 @@ static int probe_png(const uint8_t* data, int64_t len, int32_t* w,
   *h = static_cast<int32_t>(be32(data + 20));
   int bit_depth = data[24], color_type = data[25], interlace = data[28];
   if (interlace != 0) return MVLPT_UNSUPPORTED;
-  if (color_type == 0) {  // grayscale
-    if (bit_depth > 8) return MVLPT_UNSUPPORTED;
-  } else if (color_type == 2) {  // RGB
-    if (bit_depth != 8) return MVLPT_UNSUPPORTED;
-  } else {
-    return MVLPT_UNSUPPORTED;  // palette / alpha variants
-  }
+  if (bit_depth != 8 || (color_type != 0 && color_type != 2))
+    return MVLPT_UNSUPPORTED;  // palette / alpha / 16-bit / sub-byte
   // scan chunks for tRNS before IDAT
   int64_t pos = 8;
   while (pos + 8 <= len) {
@@ -209,12 +213,11 @@ static int decode_png(const uint8_t* data, int64_t len, uint8_t* out,
     png_destroy_read_struct(&png, &info, nullptr);
     return MVLPT_BADARGS;
   }
-  if (color_type == PNG_COLOR_TYPE_GRAY) {
-    if (bit_depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth == 8) {
     png_set_gray_to_rgb(png);
   } else if (color_type != PNG_COLOR_TYPE_RGB || bit_depth != 8) {
     png_destroy_read_struct(&png, &info, nullptr);
-    return MVLPT_UNSUPPORTED;
+    return MVLPT_UNSUPPORTED;  // probe rejects these already
   }
   png_read_update_info(png, info);
   if (png_get_rowbytes(png, info) != static_cast<size_t>(out_w) * 3) {
@@ -341,8 +344,9 @@ int mvlpt_decode_jpeg_scaled(const uint8_t* data, int64_t len, int32_t num,
     jpeg_read_scanlines(&ci, &row, 1);
   }
   jpeg_finish_decompress(&ci);
+  bool corrupt = ci.err->num_warnings != 0;
   jpeg_destroy_decompress(&ci);
-  return MVLPT_OK;
+  return corrupt ? MVLPT_CORRUPT : MVLPT_OK;
 }
 
 // ---------------------------------------------------------------------------

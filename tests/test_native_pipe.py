@@ -179,6 +179,39 @@ def test_eval_transform_gray_png_parity():
     np.testing.assert_array_equal(a, b)
 
 
+def test_one_bit_png_falls_back():
+    # PIL opens 1-bit PNGs as mode "1" and resize() forces NEAREST for
+    # that mode — off the bit-exact fast path, so probe must reject
+    bw = (np.random.default_rng(16).random((60, 80)) > 0.5)
+    buf = io.BytesIO()
+    Image.fromarray(bw).save(buf, "PNG")  # mode "1", bit_depth 1
+    data = buf.getvalue()
+    assert native.probe(data) is None
+    a = EvalTransform(size=32)(Image.open(io.BytesIO(data)))
+    b = NativeEvalTransform(size=32)(data)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_truncated_jpeg_raises_like_pil():
+    data = _encode(_rand_rgb((64, 64), 17), "JPEG", quality=90)
+    cut = data[: len(data) // 2]  # header intact, scan truncated
+    with pytest.raises(OSError):
+        EvalTransform(size=32)(Image.open(io.BytesIO(cut)))
+    # native: decode reports corrupt -> PIL fallback raises the same
+    with pytest.raises(OSError):
+        NativeEvalTransform(size=32)(cut)
+
+
+def test_decompression_bomb_guard(monkeypatch):
+    from PIL import Image as PILImage
+
+    data = _encode(_rand_rgb((64, 48), 18), "JPEG", quality=90)
+    monkeypatch.setattr(PILImage, "MAX_IMAGE_PIXELS", 1000)  # 64*48 > 2x
+    assert native.probe(data) is None  # oversize headers -> PIL path
+    with pytest.raises(PILImage.DecompressionBombError):
+        NativeEvalTransform(size=32)(data)
+
+
 def test_fast_jpeg_mode():
     # fast mode: DCT-scaled decode for large JPEGs — same shapes, close
     # pixels (documented as not bit-identical), and the augmentation RNG
