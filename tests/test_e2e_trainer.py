@@ -272,3 +272,23 @@ def test_zero_tunable_params_fails_loudly(tmp_path):
             "--seed", "1", "--shots", "2",
             *opts,
         ])
+
+
+def test_mvlpt_native_backend_end_to_end(tmp_path):
+    """Full CLI surface over DATALOADER.BACKEND native (C++ decode/
+    resample core): argv -> manager -> native loader -> train -> eval.
+    The TPU variant of this drive is the round's /verify run."""
+    import mvlpt_tpu.native as native
+
+    if not native.available():
+        pytest.skip("native toolchain not available")
+    make_coop_dataset(tmp_path / "data")
+    out = str(tmp_path / "out_native")
+    _run([
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+        "--seed", "1", "--shots", "2", "--cut-contextlen",
+        *TINY_OPTS, "DATALOADER.BACKEND", "native", "OPTIM.MAX_EPOCH", "1",
+    ])
+    log = open(os.path.join(out, "log.txt")).read()
+    assert "results" in log
