@@ -83,11 +83,21 @@ def main():
         model, tx, pre_embed=True,
         normalize=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD))
 
+    # Stage a small set of unique batches and tile to WINDOW on device:
+    # uploading the full (WINDOW, B, 224, 224, 3) uint8 window (~580 MB
+    # at WINDOW=120) takes ~25 min through this environment's ~20 MB/s
+    # tunnel and risks the driver's bench timeout. Tiling preserves the
+    # measurement: the scan still reads a distinct array slice per step
+    # (batches are traced as data, not constants, so repeated *values*
+    # enable no XLA hoisting; verified 17.9 ms/step both ways).
+    UNIQUE = 8
     rng_np = np.random.RandomState(0)
     host_u8 = rng_np.randint(
-        0, 256, (WINDOW, BATCH, 224, 224, 3)).astype(np.uint8)
+        0, 256, (UNIQUE, BATCH, 224, 224, 3)).astype(np.uint8)
+    reps = -(-WINDOW // UNIQUE)
     batches = {
-        "image": jnp.asarray(host_u8),
+        "image": jnp.tile(jnp.asarray(host_u8),
+                          (reps, 1, 1, 1, 1))[:WINDOW],
         "label": jnp.asarray(
             rng_np.randint(0, N_CLS, (WINDOW, BATCH)), jnp.int32),
     }

@@ -92,11 +92,13 @@ def cli():
         from mvlpt_tpu.data.loader import eval_mode
 
         eval_mode(loader)
+        from mvlpt_tpu.utils.pipeline import pipelined_inference
+
         feats, labels = [], []
-        for batch in loader:
+        for f, batch in pipelined_inference(
+                loader, lambda b: visual(jnp.asarray(b["image"]))):
             n = batch.get("n_valid", len(batch["image"]))
-            feats.append(np.asarray(
-                visual(jnp.asarray(batch["image"])), np.float32)[:n])
+            feats.append(f.astype(np.float32)[:n])
             labels.append(np.asarray(batch["label"])[:n])
         np.savez(os.path.join(args.output_dir, f"{split}.npz"),
                  feature_list=np.concatenate(feats),

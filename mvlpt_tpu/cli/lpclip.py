@@ -62,12 +62,13 @@ def extract_features(args):
         from mvlpt_tpu.data.loader import eval_mode
 
         eval_mode(loader)
+        from mvlpt_tpu.utils.pipeline import pipelined_inference
+
         feats, labels = [], []
-        for batch in loader:
+        for f, batch in pipelined_inference(
+                loader, lambda b: visual_features(jnp.asarray(b["image"]))):
             n = batch.get("n_valid", len(batch["image"]))
-            f = np.asarray(visual_features(jnp.asarray(batch["image"])),
-                           np.float32)[:n]
-            feats.append(f)
+            feats.append(f.astype(np.float32)[:n])
             labels.append(np.asarray(batch["label"])[:n])
         path = os.path.join(args.output_dir, f"{split}.npz")
         np.savez(path, feature_list=np.concatenate(feats),

@@ -119,12 +119,15 @@ class _ZeroshotBase:
     def test(self, split=None) -> float:
         from mvlpt_tpu.evaluation import ClassificationEvaluator
 
+        from mvlpt_tpu.utils.pipeline import pipelined_inference
+
         evaluator = ClassificationEvaluator(self.dm.lab2cname)
-        for batch in self.test_loader:
+        for logits, batch in pipelined_inference(
+                self.test_loader,
+                lambda b: self.model_inference(jnp.asarray(b["image"]))):
             n_valid = batch.get("n_valid", len(batch["image"]))
-            logits = np.asarray(
-                self.model_inference(jnp.asarray(batch["image"])))[:n_valid]
-            evaluator.process(logits, np.asarray(batch["label"])[:n_valid])
+            evaluator.process(logits[:n_valid],
+                              np.asarray(batch["label"])[:n_valid])
         results = evaluator.evaluate()
         print("results", results)
         return results["accuracy"]

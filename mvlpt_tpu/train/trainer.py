@@ -548,11 +548,17 @@ class PromptTrainer:
                 task_eval = {t: {"y_pred": [], "y_true": []}
                              for t in self.dm._task_names}
 
-        for batch in loader:
+        from mvlpt_tpu.utils.pipeline import pipelined_inference
+
+        def _dispatch(b):
+            return self.model_inference(
+                jnp.asarray(b["image"]),
+                jnp.asarray(b["task"]) if "task" in b else None)
+
+        for logits_full, batch in pipelined_inference(loader, _dispatch):
             n_valid = batch.get("n_valid", len(batch["image"]))
-            images = jnp.asarray(batch["image"])
-            tasks = jnp.asarray(batch["task"]) if "task" in batch else None
-            logits = np.asarray(self.model_inference(images, tasks))[:n_valid]
+            tasks = batch.get("task")
+            logits = logits_full[:n_valid]
             labels = np.asarray(batch["label"])[:n_valid]
             if cfg.DATASET.COOP:
                 self.evaluator.process(logits, labels)

@@ -121,3 +121,30 @@ def test_knowledge_augmented_text_features():
     assert feats.shape == (2, 16)
     norms = jnp.linalg.norm(feats, axis=-1)
     assert jnp.allclose(norms, 1.0, atol=1e-5)
+
+
+def test_pipelined_inference_order_and_depth():
+    """utils/pipeline.pipelined_inference: same (result, batch) pairs in
+    order, dispatching exactly one batch ahead of the sync point."""
+    import numpy as np
+
+    from mvlpt_tpu.utils.pipeline import pipelined_inference
+
+    events = []
+    batches = [{"image": np.full((2, 2), i)} for i in range(4)]
+
+    def dispatch(b):
+        events.append(("dispatch", int(b["image"][0, 0])))
+        return b["image"] * 10
+
+    out = []
+    for res, b in pipelined_inference(batches, dispatch):
+        events.append(("yield", int(b["image"][0, 0])))
+        out.append((res, b))
+
+    assert [int(r[0, 0]) for r, _ in out] == [0, 10, 20, 30]
+    assert [int(b["image"][0, 0]) for _, b in out] == [0, 1, 2, 3]
+    # dispatch i+1 happens before yield i (one-deep pipelining)
+    assert events[:5] == [("dispatch", 0), ("dispatch", 1), ("yield", 0),
+                          ("dispatch", 2), ("yield", 1)]
+    assert list(pipelined_inference([], dispatch)) == []
