@@ -8,8 +8,9 @@ tower with CUT_CONTEXTLEN, full forward-backward + SGD update per step.
 What is measured, and how honestly:
 
 * **Steady-state step throughput** — the trainer's windowed-dispatch
-  path (TRAIN.STEPS_PER_DISPATCH): K=120 DISTINCT uint8 batches staged
-  per dispatch, stem pre-embedded outside the scan, CLIP normalization
+  path (TRAIN.STEPS_PER_DISPATCH): a K=120-batch uint8 window staged
+  per dispatch (8 unique batches tiled on device — see the staging
+  comment in main()), stem pre-embedded outside the scan, CLIP normalization
   folded into the frozen patch-embed matmul, per-dispatch weight prep
   hoisted out of the scan — exactly the program
   train/trainer.py:_run_epoch_windowed runs. Timed over chained
