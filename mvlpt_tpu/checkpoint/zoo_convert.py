@@ -44,6 +44,38 @@ def _np(t) -> np.ndarray:
         return np.asarray(t)
 
 
+def _unwrap_cnn_state_dict(sd: dict) -> dict:
+    """Peel 'state_dict' / DataParallel 'module.' wrappers (shared by
+    the EfficientNet and torchvision-ResNet converters)."""
+    sd = dict(sd)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = dict(sd["state_dict"])
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()
+              if k.startswith("module.")}
+    return sd
+
+
+def _conv_bn_readers(sd: dict, dtype):
+    """Consuming readers for torch conv kernels (OIHW -> HWIO) and BN
+    stat dicts — the one definition both CNN converters share, so the
+    layout/key scheme can't drift between backbones."""
+    def conv(key):
+        return jnp.asarray(_np(sd.pop(key)).transpose(2, 3, 1, 0), dtype)
+
+    def bn(prefix):
+        out = {"scale": jnp.asarray(_np(sd.pop(f"{prefix}.weight")), dtype),
+               "bias": jnp.asarray(_np(sd.pop(f"{prefix}.bias")), dtype),
+               "mean": jnp.asarray(_np(sd.pop(f"{prefix}.running_mean")),
+                                   dtype),
+               "var": jnp.asarray(_np(sd.pop(f"{prefix}.running_var")),
+                                  dtype)}
+        sd.pop(f"{prefix}.num_batches_tracked", None)
+        return out
+
+    return conv, bn
+
+
 def _unwrap_vit_state_dict(sd: dict) -> dict:
     """Peel MAE ('model') / MoCo-v3 ('state_dict' + 'module.base_encoder.')
     wrappers down to bare timm keys."""
@@ -146,25 +178,8 @@ def convert_effnet(sd: dict, dtype=jnp.float32):
     architecture constant (identical across B0-B7)."""
     from mvlpt_tpu.core.efficientnet import EffNetConfig
 
-    sd = dict(sd)
-    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
-        sd = dict(sd["state_dict"])
-    if any(k.startswith("module.") for k in sd):
-        sd = {k[len("module."):]: v for k, v in sd.items()
-              if k.startswith("module.")}
-
-    def conv(key):
-        return jnp.asarray(_np(sd.pop(key)).transpose(2, 3, 1, 0), dtype)
-
-    def bn(prefix):
-        out = {"scale": jnp.asarray(_np(sd.pop(f"{prefix}.weight")), dtype),
-               "bias": jnp.asarray(_np(sd.pop(f"{prefix}.bias")), dtype),
-               "mean": jnp.asarray(_np(sd.pop(f"{prefix}.running_mean")),
-                                   dtype),
-               "var": jnp.asarray(_np(sd.pop(f"{prefix}.running_var")),
-                                  dtype)}
-        sd.pop(f"{prefix}.num_batches_tracked", None)
-        return out
+    sd = _unwrap_cnn_state_dict(sd)
+    conv, bn = _conv_bn_readers(sd, dtype)
 
     def se(prefix):
         rw = _np(sd.pop(f"{prefix}.conv_reduce.weight"))[:, :, 0, 0]
@@ -250,26 +265,9 @@ def tv_resnet_config_from_state_dict(sd: dict) -> TVResNetConfig:
 def convert_tv_resnet(sd: dict, dtype=jnp.float32):
     """torchvision ResNet state dict -> (params, TVResNetConfig) for
     core/zoo.py:tv_resnet_features."""
-    sd = dict(sd)
-    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
-        sd = dict(sd["state_dict"])
-    if any(k.startswith("module.") for k in sd):
-        sd = {k[len("module."):]: v for k, v in sd.items()
-              if k.startswith("module.")}
+    sd = _unwrap_cnn_state_dict(sd)
     cfg = tv_resnet_config_from_state_dict(sd)
-
-    def conv(key):
-        return jnp.asarray(_np(sd.pop(key)).transpose(2, 3, 1, 0), dtype)
-
-    def bn(prefix):
-        out = {"scale": jnp.asarray(_np(sd.pop(f"{prefix}.weight")), dtype),
-               "bias": jnp.asarray(_np(sd.pop(f"{prefix}.bias")), dtype),
-               "mean": jnp.asarray(_np(sd.pop(f"{prefix}.running_mean")),
-                                   dtype),
-               "var": jnp.asarray(_np(sd.pop(f"{prefix}.running_var")),
-                                  dtype)}
-        sd.pop(f"{prefix}.num_batches_tracked", None)
-        return out
+    conv, bn = _conv_bn_readers(sd, dtype)
 
     params = {"conv1": conv("conv1.weight"), "bn1": bn("bn1"), "stages": []}
     n_convs = 3 if cfg.bottleneck else 2

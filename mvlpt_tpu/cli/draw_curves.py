@@ -94,8 +94,16 @@ def read_xlsx_sheet(path: str, sheet_name: str) -> dict[str, list]:
                     "{%s}t" % _NS["m"])))
 
         sheet = ET.fromstring(z.read(sheet_target))
+        # Index rows by their 1-based ``r`` attribute, not XML document
+        # order: Excel omits <row> elements for blank rows, and the
+        # reference layout (scripts/draw_curves.py row slices) depends
+        # on blank separator rows keeping their positions.
         rows: list[dict[int, object]] = []
         for row in sheet.iter("{%s}row" % _NS["m"]):
+            r_attr = row.get("r")
+            row_idx = int(r_attr) - 1 if r_attr else len(rows)
+            while len(rows) <= row_idx:
+                rows.append({})
             cells: dict[int, object] = {}
             for c in row.findall("m:c", _NS):
                 v = c.find("m:v", _NS)
@@ -111,7 +119,7 @@ def read_xlsx_sheet(path: str, sheet_name: str) -> dict[str, list]:
                     except ValueError:
                         val = v.text
                 cells[_col_to_idx(c.get("r"))] = val
-            rows.append(cells)
+            rows[row_idx] = cells
 
     if not rows:
         return {}

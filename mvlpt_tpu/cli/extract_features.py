@@ -67,20 +67,39 @@ def cli():
     cfg.MODEL.BACKBONE.NAME = args.backbone
     cfg.DATALOADER.TEST.BATCH_SIZE = args.batch_size
     cfg.DATALOADER.TRAIN_X.BATCH_SIZE = args.batch_size
-    cfg.freeze()
 
     if args.model:
         from mvlpt_tpu.models.zoo import get_model
 
         zoo = get_model(args.model, checkpoint=args.model_checkpoint,
                         dtype=jnp.bfloat16)
-        visual = jax.jit(zoo.features)
+        # Preprocess with the zoo model's own stats (the reference's
+        # non-CLIP branches carry ImageNet mean/std and their native
+        # input size in the model yaml, feature.py:538-619) — not the
+        # CLIP defaults cfg.INPUT starts with.
+        cfg.INPUT.SIZE = (zoo.input_resolution, zoo.input_resolution)
+        cfg.INPUT.PIXEL_MEAN = list(zoo.pixel_mean)
+        cfg.INPUT.PIXEL_STD = list(zoo.pixel_std)
+        cfg.freeze()
+        from mvlpt_tpu.data.transforms import device_normalize
+
+        _zmean, _zstd = tuple(zoo.pixel_mean), tuple(zoo.pixel_std)
+        visual = jax.jit(
+            lambda images: zoo.features(
+                device_normalize(images, _zmean, _zstd)))
         backbone = clip_cfg = None
     else:
+        cfg.freeze()
         backbone, clip_cfg = load_clip_backbone(cfg, jnp.bfloat16)
+        from mvlpt_tpu.data.transforms import device_normalize
+
+        _mean = tuple(cfg.INPUT.PIXEL_MEAN)
+        _std = tuple(cfg.INPUT.PIXEL_STD)
 
         @jax.jit
         def visual(images):
+            # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
+            images = device_normalize(images, _mean, _std)
             return clip_core.encode_image(backbone, images, clip_cfg)
     dm = build_data_manager(cfg)
 

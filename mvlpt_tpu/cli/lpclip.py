@@ -49,8 +49,14 @@ def extract_features(args):
     backbone, clip_cfg = load_clip_backbone(cfg, jnp.bfloat16)
     dm = build_data_manager(cfg)
 
+    from mvlpt_tpu.data.transforms import device_normalize
+
+    mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+
     @jax.jit
     def visual_features(images):
+        # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
+        images = device_normalize(images, mean, std)
         return clip_core.encode_image(backbone, images, clip_cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -24,6 +24,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from mvlpt_tpu.core.zoo import _bn, _conv  # shared folded-BN / torch-pad conv
+
 __all__ = ["EffNetConfig", "EFFNET_CONFIGS", "effnet_features",
            "init_effnet_params"]
 
@@ -68,24 +70,6 @@ EFFNET_CONFIGS = {
     "efficientnet_b3": _scaled(1.2, 1.4, 300),
     "efficientnet_b4": _scaled(1.4, 1.8, 380),
 }
-
-
-def _bn(x, p, eps=1e-5):
-    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
-    scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
-    bias = (p["bias"].astype(jnp.float32)
-            - p["mean"].astype(jnp.float32)
-            * p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
-    return x * scale + bias
-
-
-def _conv(x, kernel, stride=1, groups=1):
-    p = kernel.shape[0] // 2  # torch symmetric padding
-    return jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (stride, stride), ((p, p), (p, p)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _silu(x):

@@ -183,6 +183,9 @@ TV_RESNET_CONFIGS = {
 
 
 def _bn(x, p, eps=1e-5):
+    """Inference batch-norm, fp32 folding. Shared by every converted
+    torch backbone (tv ResNet here, EfficientNet in core/efficientnet)
+    so the parity-critical arithmetic lives in exactly one place."""
     inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
     scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
     bias = (p["bias"].astype(jnp.float32)
@@ -191,7 +194,7 @@ def _bn(x, p, eps=1e-5):
     return x * scale + bias
 
 
-def _conv(x, kernel, stride=1):
+def _conv(x, kernel, stride=1, groups=1):
     # torch pads symmetrically ((k//2, k//2)); XLA's SAME pads
     # asymmetrically under stride > 1 — always use the torch rule so
     # converted checkpoints reproduce torchvision activations exactly.
@@ -199,6 +202,7 @@ def _conv(x, kernel, stride=1):
     return jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (stride, stride), ((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32).astype(x.dtype)
 
 

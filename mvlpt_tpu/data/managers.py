@@ -149,7 +149,8 @@ def _elevater_transform(cfg):
     return eval_cls(
         size=tuple(size), interpolation="bicubic",
         mean=tuple(cfg.INPUT.PIXEL_MEAN), std=tuple(cfg.INPUT.PIXEL_STD),
-        center_crop_mode=bool(cfg.DATASET.CENTER_CROP), **kw)
+        center_crop_mode=bool(cfg.DATASET.CENTER_CROP),
+        to_uint8=bool(cfg.TPU.DEVICE_NORMALIZE), **kw)
 
 
 def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,

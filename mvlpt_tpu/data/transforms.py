@@ -51,6 +51,21 @@ def _to_array(img: Image.Image, mean, std, to_uint8: bool = False
     return arr
 
 
+def device_normalize(images, mean, std):
+    """Device-side equivalent of `_to_array`'s normalization for raw
+    uint8 batches (TPU.DEVICE_NORMALIZE loaders). Inference paths that
+    do not fold the normalize into the patch-embed matmul (zero-shot,
+    feature extraction) call this so they honor the uint8 contract;
+    float batches pass through untouched. jit-safe (dtype is static)."""
+    import jax.numpy as jnp
+
+    if images.dtype != jnp.uint8:
+        return images
+    m = jnp.asarray(mean, jnp.float32) * 255.0
+    s = jnp.asarray(std, jnp.float32) * 255.0
+    return (images.astype(jnp.float32) - m) / s
+
+
 def resized_shorter_dims(w: int, h: int, size: int) -> tuple[int, int]:
     """Output dims of resize_shorter — the single source of the rounding
     (Python round() banker's semantics) shared with the native backend so

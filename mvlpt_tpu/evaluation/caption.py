@@ -97,8 +97,12 @@ def caption_bleu(predictions, targets, max_n: int = 4) -> dict:
     report = {}
     log_sum = 0.0
     for n in range(1, max_n + 1):
-        # tiny-smoothed precision so one empty order doesn't zero BLEU-4
-        p = (clipped[n - 1] + 1e-9) / (total[n - 1] + 1e-9)
+        # coco-caption bleu_scorer smoothing: tiny (1e-15) in the
+        # numerator over small (1e-9) in the denominator, so an order
+        # with zero candidate n-grams contributes ~1e-6 precision —
+        # equal epsilons would score it 1.0 and inflate Bleu_3/4 on
+        # short captions
+        p = (clipped[n - 1] + 1e-15) / (total[n - 1] + 1e-9)
         log_sum += math.log(p)
         report[f"Bleu_{n}"] = float(bp * math.exp(log_sum / n))
     return report

@@ -188,8 +188,6 @@ def detection_map_coco(predictions, targets, ious=(0.3, 0.5, 0.75, 0.9),
             is_correct, scores = _match_class(
                 preds.get(cls, []), gts.get(cls, {}), iou)
             true_num = sum(len(v) for v in gts.get(cls, {}).values())
-            if true_num == 0 and not preds.get(cls):
-                continue
             if true_num == 0:
                 continue  # COCO skips classes absent from GT (-1 entries)
             aps[cls] = _ap_coco(is_correct, scores, true_num)

@@ -93,8 +93,14 @@ class _ZeroshotBase:
         self.text_features = encode_class_text_features(
             self.backbone, self.clip_cfg, classnames, self.templates(classnames))
 
+        from mvlpt_tpu.data.transforms import device_normalize
+
+        mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+
         @jax.jit
         def infer(backbone, text_features, images):
+            # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
+            images = device_normalize(images, mean, std)
             img = clip_core.encode_image(backbone, images, self.clip_cfg)
             img = img.astype(jnp.float32)
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)

@@ -50,8 +50,12 @@ def _col_letter(i):
     return out
 
 
-def write_minimal_xlsx(path, columns):
-    """columns: dict name -> list of floats (27 rows, reference layout)."""
+def write_minimal_xlsx(path, columns, omit_empty_rows=False):
+    """columns: dict name -> list of floats (27 rows, reference layout).
+
+    ``omit_empty_rows`` mimics real Excel output, which writes no
+    ``<row>`` element at all for blank rows — positions are carried by
+    each row's ``r`` attribute."""
     names = list(columns)
     shared = "".join(f"<si><t>{n}</t></si>" for n in names)
     ss = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -71,6 +75,8 @@ def write_minimal_xlsx(path, columns):
             if i < len(vals) and vals[i] is not None:
                 cells.append(
                     f'<c r="{_col_letter(j)}{i + 2}"><v>{vals[i]}</v></c>')
+        if omit_empty_rows and not cells:
+            continue
         rows_xml.append(f'<row r="{i + 2}">{"".join(cells)}</row>')
     sheet = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
              f'<worksheet xmlns="http://schemas.openxmlformats.org/'
@@ -105,6 +111,22 @@ def test_read_xlsx_sheet_roundtrip(tmp_path):
     assert parsed["DTD"][1] is None  # sparse cell
     np.testing.assert_allclose(
         [v for v in parsed["OxfordPets"][2:27]], cols["OxfordPets"][2:27])
+
+
+def test_read_xlsx_excel_omits_blank_rows(tmp_path):
+    """Excel writes no <row> element for blank rows; positions must come
+    from the r attribute, not document order, or every method block
+    below the blank separator row shifts by one."""
+    rng = np.random.RandomState(3)
+    cols = {"OxfordPets": _ref_column(rng), "DTD": _ref_column(rng)}
+    explicit = str(tmp_path / "explicit.xlsx")
+    sparse = str(tmp_path / "sparse.xlsx")
+    write_minimal_xlsx(explicit, cols)
+    write_minimal_xlsx(sparse, cols, omit_empty_rows=True)
+    a = read_xlsx_sheet(explicit, "imcls_fewshot")
+    b = read_xlsx_sheet(sparse, "imcls_fewshot")
+    assert a == b
+    assert b["OxfordPets"][1] is None  # the blank separator row survived
 
 
 def test_read_xlsx_missing_sheet_errors(tmp_path):

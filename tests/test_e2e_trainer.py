@@ -212,6 +212,35 @@ def test_zeroshot_on_elevater_task(tmp_path):
     assert trainer.text_features.shape == (10, 16)
 
 
+def test_zeroshot_honors_device_normalize(tmp_path):
+    """TPU.DEVICE_NORMALIZE makes loaders emit raw uint8; zero-shot
+    inference must normalize on device and produce the same logits as
+    the host-normalized float path (same random backbone: PRNGKey init)."""
+    import jax.numpy as jnp
+
+    make_elevater_task(tmp_path / "data", "cifar-10", 10, n_train=8,
+                       n_test=8)
+    common = [
+        "--root", str(tmp_path / "data"),
+        "--trainer", "ZeroshotCLIP", "--dataset", "cifar-10",
+        "--seed", "1", "--no-train", "--eval-only",
+        "DATALOADER.TEST.BATCH_SIZE", "4", "DATALOADER.NUM_WORKERS", "0",
+        "INPUT.SIZE", "(32, 32)", "MODEL.BACKBONE.NAME", "ViT-B/32",
+    ]
+    t_f32 = _run(["--output-dir", str(tmp_path / "o_f32"), *common])
+    t_u8 = _run(["--output-dir", str(tmp_path / "o_u8"), *common,
+                 "TPU.DEVICE_NORMALIZE", "True"])
+
+    b_f32 = next(iter(t_f32.test_loader))
+    b_u8 = next(iter(t_u8.test_loader))
+    assert b_u8["image"].dtype == np.uint8
+    assert b_f32["image"].dtype != np.uint8
+    np.testing.assert_array_equal(b_f32["label"], b_u8["label"])
+    l_f32 = np.asarray(t_f32.model_inference(jnp.asarray(b_f32["image"])))
+    l_u8 = np.asarray(t_u8.model_inference(jnp.asarray(b_u8["image"])))
+    np.testing.assert_allclose(l_f32, l_u8, rtol=0, atol=5e-2)
+
+
 def test_single_task_multilabel_training(tmp_path):
     """Single ELEVATER multilabel task (voc-style): k-hot targets through
     the soft-CE path and the 11-pt mAP metric."""

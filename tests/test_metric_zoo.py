@@ -160,6 +160,16 @@ def test_bleu_brevity_penalty():
     assert rep["Bleu_1"] == pytest.approx(np.exp(1 - 3 / 2), abs=1e-6)
 
 
+def test_bleu_empty_order_not_scored_one():
+    # corpus has no 3-/4-grams: coco bleu_scorer smoothing (tiny/small)
+    # gives those orders ~1e-6 precision, NOT 1.0 — Bleu_4 must collapse
+    rep = caption_bleu(["a cat"], [["a cat"]])
+    assert rep["Bleu_1"] == pytest.approx(1.0, abs=1e-6)
+    assert rep["Bleu_2"] == pytest.approx(1.0, abs=1e-6)
+    assert rep["Bleu_3"] < 0.05
+    assert rep["Bleu_4"] < 0.05
+
+
 def test_rouge_l():
     # LCS("the cat sat", "the cat on the mat") = "the cat" (2)
     rep = caption_rouge_l(["the cat sat"], [["the cat on the mat"]])

@@ -123,6 +123,28 @@ def test_knowledge_augmented_text_features():
     assert jnp.allclose(norms, 1.0, atol=1e-5)
 
 
+def test_device_normalize_matches_host_arithmetic():
+    """data/transforms.device_normalize: uint8 -> (x/255 - mean)/std in
+    fp32 (the uint8 loader contract); float inputs pass through."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvlpt_tpu.data.transforms import (
+        CLIP_PIXEL_MEAN, CLIP_PIXEL_STD, device_normalize)
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 256, (2, 4, 4, 3)).astype(np.uint8)
+    got = np.asarray(device_normalize(jnp.asarray(u8), CLIP_PIXEL_MEAN,
+                                      CLIP_PIXEL_STD))
+    want = ((u8.astype(np.float32) / 255.0 - np.float32(CLIP_PIXEL_MEAN))
+            / np.float32(CLIP_PIXEL_STD))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+    f32 = jnp.ones((1, 2, 2, 3), jnp.float32) * 0.5
+    out = device_normalize(f32, CLIP_PIXEL_MEAN, CLIP_PIXEL_STD)
+    assert out is f32  # passthrough, no accidental re-normalization
+
+
 def test_pipelined_inference_order_and_depth():
     """utils/pipeline.pipelined_inference: same (result, batch) pairs in
     order, dispatching exactly one batch ahead of the sync point."""

@@ -20,7 +20,26 @@ def test_extract_features_zoo_model(tmp_path, monkeypatch):
     ])
     from mvlpt_tpu.cli.extract_features import cli
 
+    # the zoo branch must preprocess with the model's own stats
+    # (ImageNet, feature.py:538-619), not cfg.INPUT's CLIP defaults
+    import mvlpt_tpu.data.managers as managers_mod
+
+    seen_input = {}
+    real_bdm = managers_mod.build_data_manager
+
+    def spy(cfg, *a, **kw):
+        seen_input["mean"] = tuple(cfg.INPUT.PIXEL_MEAN)
+        seen_input["std"] = tuple(cfg.INPUT.PIXEL_STD)
+        seen_input["size"] = tuple(cfg.INPUT.SIZE)
+        return real_bdm(cfg, *a, **kw)
+
+    monkeypatch.setattr(managers_mod, "build_data_manager", spy)
+
     cli()
+
+    assert seen_input["mean"] == (0.485, 0.456, 0.406)
+    assert seen_input["std"] == (0.229, 0.224, 0.225)
+    assert seen_input["size"] == (224, 224)
 
     train = np.load(out / "train.npz")
     assert train["feature_list"].shape[1] == 512  # resnet18 feature dim
