@@ -135,29 +135,34 @@ def main():
     flops_per_step = flagship_step_flops(batch=BATCH, n_cls=N_CLS)
     mfu = flops_per_step / (step_ms / 1e3) / V5E_BF16_PEAK_FLOPS
 
-    # ---- H2D: tunnel bandwidth + compute/transfer overlap ----
-    one = host_u8[0]
-    d = jax.device_put(one)
-    fence_arr(d)  # warm the transfer path
-    t0 = time.perf_counter()
-    d = jax.device_put(one)
-    fence_arr(d)
-    t_put = time.perf_counter() - t0
-    h2d_mbs = one.nbytes / 1e6 / t_put
+    # ---- H2D: tunnel bandwidth + compute/transfer overlap. Secondary
+    # diagnostics: never let a flaky tunnel transfer sink the headline ----
+    try:
+        one = host_u8[0]
+        d = jax.device_put(one)
+        fence_arr(d)  # warm the transfer path
+        t0 = time.perf_counter()
+        d = jax.device_put(one)
+        fence_arr(d)
+        t_put = time.perf_counter() - t0
+        h2d_mbs = one.nbytes / 1e6 / t_put
 
-    t0 = time.perf_counter()
-    state, m = step(state, backbone, consts, batches, keys[0])
-    sync(m["loss"][-1])
-    t_compute = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, m = step(state, backbone, consts, batches, keys[0])
+        sync(m["loss"][-1])
+        t_compute = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    state, m = step(state, backbone, consts, batches, keys[1])
-    d = jax.device_put(one)       # uploads while the window computes
-    fence_arr(d)
-    sync(m["loss"][-1])
-    t_both = time.perf_counter() - t0
-    overlap = (t_compute + t_put - t_both) / max(1e-9, min(t_compute, t_put))
-    overlap = max(0.0, min(1.0, overlap))
+        t0 = time.perf_counter()
+        state, m = step(state, backbone, consts, batches, keys[1])
+        d = jax.device_put(one)       # uploads while the window computes
+        fence_arr(d)
+        sync(m["loss"][-1])
+        t_both = time.perf_counter() - t0
+        overlap = (t_compute + t_put - t_both) / max(
+            1e-9, min(t_compute, t_put))
+        overlap = max(0.0, min(1.0, overlap))
+    except Exception:
+        h2d_mbs = overlap = -1.0
 
     out = {
         "metric": ("prompt-tune images/sec/chip "

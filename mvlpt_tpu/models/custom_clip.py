@@ -126,6 +126,41 @@ class MVLPTModel:
             attn_fn=self.attn_fn,
         )
 
+    def compute_text_features(self, backbone: dict, prompt_params: dict,
+                              consts: PromptConsts) -> jax.Array:
+        """(n_cls, embed_dim) text features for the current prompts.
+
+        Only valid for non-CoCoOp specs (CoCoOp conditions prompts on
+        the image). During evaluation the prompt parameters are frozen,
+        so these are constant across every eval batch — trainer.test()
+        computes them once per call instead of re-running the 12-layer
+        text tower per batch (the reference recomputes per batch,
+        mvlpt.py:540-582; caching is free parity: identical values)."""
+        if self.spec.has_cocoop:
+            raise ValueError("CoCoOp text features are image-conditioned")
+        coop_ctx, _, _ = upt_couple(prompt_params, self.spec)
+        prompts = coop_assemble(coop_ctx, consts, self.spec)
+        return self.encode_text_prompts(backbone, prompts, consts.eot_idx)
+
+    def forward_with_text(
+        self,
+        backbone: dict,
+        prompt_params: dict,
+        images: jax.Array,
+        text_features: jax.Array,
+        tasks: jax.Array | None = None,
+        task_ranges: TaskClassRanges | None = None,
+        pre_embedded: bool = False,
+    ) -> jax.Array:
+        """Forward with precomputed text features (eval fast path)."""
+        _, vpt_sh, vpt_dp = upt_couple(prompt_params, self.spec)
+        image_features = self.encode_image(
+            backbone, prompt_params, images, None, vpt_sh, vpt_dp,
+            pre_embedded=pre_embedded)
+        logits = clip_core.clip_logits(
+            image_features, text_features, backbone["logit_scale"])
+        return _apply_task_mask(logits, tasks, task_ranges)
+
     def __call__(
         self,
         backbone: dict,
@@ -194,11 +229,16 @@ class MVLPTModel:
             scale = jnp.exp(backbone["logit_scale"].astype(jnp.float32))
             logits = scale * jnp.einsum("be,bce->bc", img_n, text_features)
 
-        if tasks is not None and task_ranges is not None:
-            cls_idx = jnp.arange(logits.shape[-1])[None, :]
-            lo = task_ranges.start[tasks][:, None]
-            hi = task_ranges.end[tasks][:, None]
-            select = ((cls_idx >= lo) & (cls_idx < hi)).astype(logits.dtype)
-            logits = logits * select  # multiply, as mvlpt.py:579-581
+        return _apply_task_mask(logits, tasks, task_ranges)
 
+
+def _apply_task_mask(logits, tasks, task_ranges):
+    """Zero logits outside each row's task class range
+    (multiply, as mvlpt.py:579-581)."""
+    if tasks is None or task_ranges is None:
         return logits
+    cls_idx = jnp.arange(logits.shape[-1])[None, :]
+    lo = task_ranges.start[tasks][:, None]
+    hi = task_ranges.end[tasks][:, None]
+    select = ((cls_idx >= lo) & (cls_idx < hi)).astype(logits.dtype)
+    return logits * select

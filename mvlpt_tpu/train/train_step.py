@@ -211,5 +211,35 @@ def make_eval_step(model: MVLPTModel, task_ranges: TaskClassRanges | None = None
     return eval_fn
 
 
+def make_cached_text_eval(model: MVLPTModel,
+                          task_ranges: TaskClassRanges | None = None,
+                          normalize: tuple | None = None):
+    """(text_fn, eval_fn) for the cached-text eval fast path.
+
+    During evaluation the learned prompts are frozen, so the text tower
+    output is constant across batches; ``text_fn`` computes it once per
+    trainer.test() call and ``eval_fn`` runs only the image tower +
+    logits per batch (identical values to make_eval_step — the text
+    recompute the reference pays per batch, mvlpt.py:540-582, is pure
+    waste at eval). Not applicable to CoCoOp (image-conditioned text):
+    returns (None, None) so callers fall back to make_eval_step."""
+    if model.spec.has_cocoop:
+        return None, None
+
+    @jax.jit
+    def text_fn(backbone, prompt_params, consts):
+        return model.compute_text_features(backbone, prompt_params, consts)
+
+    @jax.jit
+    def eval_fn(backbone, prompt_params, text_features, batch):
+        imgs, pre = _prep_images(model, backbone, batch["image"], normalize)
+        return model.forward_with_text(
+            backbone, prompt_params, imgs, text_features,
+            tasks=batch.get("task"), task_ranges=task_ranges,
+            pre_embedded=pre)
+
+    return text_fn, eval_fn
+
+
 def shard_batch(batch, mesh):
     return pmesh.shard_tree(batch, pmesh.batch_specs(batch), mesh)

@@ -41,7 +41,8 @@ from mvlpt_tpu.prompts import (
     init_prompt_params)
 from mvlpt_tpu.train.optim import build_optimizer
 from mvlpt_tpu.train.train_step import (
-    init_train_state, make_eval_step, make_train_step)
+    init_train_state, make_cached_text_eval, make_eval_step,
+    make_train_step)
 from mvlpt_tpu.utils.registry import TRAINER_REGISTRY
 
 
@@ -277,6 +278,12 @@ class PromptTrainer:
         self.train_step_multi = None  # built lazily (TRAIN.STEPS_PER_DISPATCH)
         self.eval_step = make_eval_step(
             self.model, self.task_ranges, normalize=self._normalize)
+        # Cached-text eval fast path: prompts are frozen during eval, so
+        # test() computes text features once per call instead of per
+        # batch (None for CoCoOp — image-conditioned text).
+        self._eval_text_fn, self.eval_step_cached = make_cached_text_eval(
+            self.model, self.task_ranges, normalize=self._normalize)
+        self._eval_text = None
         self.evaluator = ClassificationEvaluator(self.lab2cname)
 
         # Shard the frozen backbone over the mesh; batches shard over
@@ -523,6 +530,10 @@ class PromptTrainer:
         if tasks is not None:
             batch["task"] = tasks
         batch = self._device_batch(batch, train=False)
+        if getattr(self, "_eval_text", None) is not None:
+            return self.eval_step_cached(
+                self.backbone, self.state.prompt_params, self._eval_text,
+                batch)
         return self.eval_step(self.backbone, self.state.prompt_params,
                               self.consts, batch)
 
@@ -554,6 +565,23 @@ class PromptTrainer:
             return self.model_inference(
                 jnp.asarray(b["image"]),
                 jnp.asarray(b["task"]) if "task" in b else None)
+
+        # subclasses that re-build their own inference (FinetuneCLIP)
+        # may not construct the cached-text fast path — fall back then
+        if getattr(self, "_eval_text_fn", None) is not None:
+            # one text-tower pass for the whole split (prompts frozen)
+            self._eval_text = self._eval_text_fn(
+                self.backbone, self.state.prompt_params, self.consts)
+        try:
+            return self._test_loop(loader, _dispatch, split, task_eval,
+                                   elevater_pred, elevater_true)
+        finally:
+            self._eval_text = None  # prompts train on after test()
+
+    def _test_loop(self, loader, _dispatch, split, task_eval,
+                   elevater_pred, elevater_true) -> float:
+        cfg = self.cfg
+        from mvlpt_tpu.utils.pipeline import pipelined_inference
 
         for logits_full, batch in pipelined_inference(loader, _dispatch):
             n_valid = batch.get("n_valid", len(batch["image"]))

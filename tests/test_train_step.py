@@ -102,6 +102,29 @@ def test_task_masking_zeroes_out_of_range():
     assert (out[0, 2:] == 0).all() and (out[1, :2] == 0).all()
 
 
+def test_cached_text_eval_matches_eval_step():
+    """make_cached_text_eval (one text-tower pass per split) must produce
+    bit-identical logits to make_eval_step, with and without task masks;
+    CoCoOp (image-conditioned text) opts out."""
+    from mvlpt_tpu.train.train_step import make_cached_text_eval
+
+    backbone, spec, pp, consts, model = tiny_setup()
+    ranges = TaskClassRanges(start=jnp.asarray([0, 2]), end=jnp.asarray([2, 4]))
+    batch = dict(make_batch(), task=jnp.asarray([0, 1] * 4))
+
+    for tr in (None, ranges):
+        eval_step = make_eval_step(model, tr)
+        text_fn, cached_step = make_cached_text_eval(model, tr)
+        b = batch if tr is not None else {"image": batch["image"]}
+        want = np.asarray(eval_step(backbone, pp, consts, b))
+        tf = text_fn(backbone, pp, consts)
+        got = np.asarray(cached_step(backbone, pp, tf, b))
+        np.testing.assert_array_equal(want, got)
+
+    _, _, pp_c, consts_c, model_c = tiny_setup(cocoop=2)
+    assert make_cached_text_eval(model_c) == (None, None)
+
+
 def test_cocoop_forward():
     backbone, spec, pp, consts, model = tiny_setup(coop=0, vpt=0, cocoop=3)
     batch = make_batch(n=4)
