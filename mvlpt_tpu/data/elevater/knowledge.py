@@ -31,9 +31,13 @@ def load_knowledge() -> dict:
 
 
 def _clean(text: str) -> str:
-    # the reference runs nltk word_tokenize then joins with spaces; the
-    # effect the BPE tokenizer cares about is whitespace normalization
-    return re.sub(r"\s+", " ", text).strip()
+    # The reference builds ' ' + ' '.join(word_tokenize(text))
+    # (feature.py:509): whitespace-normalized, with a LEADING SPACE that
+    # keeps the template's trailing '.' and the snippet's ';' as separate
+    # BPE tokens ('.;' would merge under CLIP's punctuation grouping).
+    # In-snippet word_tokenize punctuation splits (e.g. "dog's" ->
+    # "dog 's") are not reproduced — whitespace normalization only.
+    return " " + re.sub(r"\s+", " ", text).strip()
 
 
 def knowledge_texts(task: str, classname: str, *,
@@ -73,10 +77,18 @@ def encode_class_text_features_with_knowledge(
     from mvlpt_tpu.core import clip as clip_core
     from mvlpt_tpu.tokenizer import tokenize
 
+    import numpy as np
+
     use = {s: s in sources for s in ("wiki", "wordnet", "hierarchy", "gpt3")}
     encode = jax.jit(lambda ids: clip_core.encode_text(backbone, ids, clip_cfg))
 
-    feats = []
+    # Gather every class's rows up front, then encode the flat matrix in
+    # fixed-size chunks: classes have varying (templates x snippets) row
+    # counts, and jitting per class would recompile the text tower for
+    # every distinct count (and run unbounded batches for snippet-rich
+    # classes — batch_rows caps the program size).
+    all_texts: list[str] = []
+    counts: list[int] = []
     for classname in classnames:
         ktexts = knowledge_texts(
             task, classname, use_wiki=use["wiki"], use_wordnet=use["wordnet"],
@@ -86,10 +98,27 @@ def encode_class_text_features_with_knowledge(
             texts = [t.format(classname) + k for k in ktexts for t in templates]
         else:
             texts = [t.format(classname) for t in templates]
-        ids = tokenize(texts, context_length=clip_cfg.context_length,
-                       truncate=True)
-        emb = encode(jnp.asarray(ids)).astype(jnp.float32)
+        all_texts.extend(texts)
+        counts.append(len(texts))
+
+    ids = np.asarray(tokenize(all_texts, context_length=clip_cfg.context_length,
+                              truncate=True))
+    n_rows = len(ids)
+    chunk = min(batch_rows, n_rows)
+    embs = []
+    for i in range(0, n_rows, chunk):
+        part = ids[i:i + chunk]
+        pad = chunk - len(part)
+        if pad:  # pad the tail to the one compiled shape
+            part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
+        emb = encode(jnp.asarray(part)).astype(jnp.float32)
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-        mean = emb.mean(axis=0)
+        embs.append(np.asarray(emb)[:chunk - pad])
+    flat = np.concatenate(embs, axis=0)
+
+    feats, start = [], 0
+    for n in counts:
+        mean = jnp.asarray(flat[start:start + n].mean(axis=0))
         feats.append(mean / jnp.linalg.norm(mean))
+        start += n
     return jnp.stack(feats)

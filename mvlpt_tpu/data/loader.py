@@ -39,6 +39,20 @@ class _TransformedDataset:
     def __len__(self):
         return len(self.items)
 
+    def _transform_takes_rng(self) -> bool:
+        """Signature-inspected (never by catching TypeError, which would
+        swallow real errors raised inside the transform). Cached per
+        transform object — this sits in the per-item hot loop."""
+        if getattr(self, "_rng_ok_for", None) is not self.transform:
+            import inspect
+
+            try:
+                ok = "rng" in inspect.signature(self.transform).parameters
+            except (TypeError, ValueError):
+                ok = False
+            self._rng_ok_for, self._rng_ok = self.transform, ok
+        return self._rng_ok
+
     def __getitem__(self, idx: int, rng: random.Random | None = None):
         d = self.items[idx]
         if getattr(self.transform, "wants_bytes", False):
@@ -48,10 +62,9 @@ class _TransformedDataset:
             img = read_bytes(d.impath)
         else:
             img = _load_image(d.impath)
-        try:
-            img = self.transform(img, rng=rng) if rng is not None else \
-                self.transform(img)
-        except TypeError:  # transform without rng support (eval)
+        if rng is not None and self._transform_takes_rng():
+            img = self.transform(img, rng=rng)
+        else:
             img = self.transform(img)
         label = d.label if self.label_transform is None else self.label_transform(d.label)
         return img, label, d.domain
@@ -178,13 +191,28 @@ def build_data_loader(cfg, data_source, batch_size, tfm, is_train: bool,
 
 def eval_mode(loader):
     """Switch any loader to a deterministic full pass (no shuffle, no
-    augmentation, keep tail batches) — for feature extraction over
-    loaders built for training."""
+    augmentation, keep tail batches, every host sees every row) — for
+    feature extraction over loaders built for training."""
     if hasattr(loader, "set_eval_mode"):
         loader.set_eval_mode()
-    else:
-        loader.shuffle = False
-        loader.drop_last = False
+        return loader
+    loader.shuffle = False
+    loader.drop_last = False
+    # Eval is replicated (parallel/multihost.py contract): a train
+    # loader's per-host batch slice would make each host extract only
+    # its 1/P of every batch.
+    loader.host_shard = None
+    # Swap a training transform for its eval counterpart so the "no
+    # augmentation" promise holds on the python backend too (the tf
+    # backend handles this inside set_eval_mode).
+    ds = getattr(loader, "dataset", None)
+    tfm = getattr(ds, "transform", None)
+    from mvlpt_tpu.data.transforms import EvalTransform, TrainTransform
+
+    if isinstance(tfm, TrainTransform):
+        ds.transform = EvalTransform(
+            size=tfm.size, interpolation=tfm.interpolation, mean=tfm.mean,
+            std=tfm.std, to_uint8=tfm.to_uint8)
     return loader
 
 

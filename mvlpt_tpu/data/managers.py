@@ -215,6 +215,10 @@ class ElevaterDataManager:
             # Explicit DATASET.VAL_SET: train is used whole
             # (feature.py:611-613).
             val_items = man.val
+        elif shots == 1:
+            # 1-shot: no split — val IS the train set (feature.py:602-605),
+            # else the 20% split would empty the training set.
+            val_items = list(train_items)
         else:
             train_items, val_items = ev.train_val_split(
                 train_items, 0.2, seed, man.num_classes, man.is_multilabel)
@@ -293,8 +297,14 @@ class ElevaterMultitaskDataManager:
         # (feature.py:843-852)
         train_items = ev.sample_few_shot_subset(
             train_items, shots, seed, mt.num_classes)
-        train_items, val_items = ev.train_val_split(
-            train_items, 0.2, seed, mt.num_classes, multilabel=True)
+        if shots == 1:
+            # the greedy class-cover split would consume the single item
+            # of every class; mirror the single-task 1-shot rule
+            # (feature.py:602-605): no split, val IS the train set
+            val_items = list(train_items)
+        else:
+            train_items, val_items = ev.train_val_split(
+                train_items, 0.2, seed, mt.num_classes, multilabel=True)
 
         n_global = mt.num_classes
 

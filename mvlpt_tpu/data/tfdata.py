@@ -198,7 +198,10 @@ class TFDataLoader:
         # rebuilt per epoch so the stateless augmentation seeds get an
         # epoch component (fresh crops/flips each epoch, deterministic
         # per (seed, epoch, index))
-        epoch_seed = self._seed * 1000003 + self._epoch
+        # keep clear of int32: the seed lands in int32 stateless-RNG
+        # seed tensors inside train_map (index + seed would overflow for
+        # user seeds >= ~2148); 2**30 leaves headroom for index/epoch
+        epoch_seed = (self._seed * 1000003 + self._epoch) % (1 << 30)
         return _build_dataset(
             self._paths, self._labels, self._domains, train=self.augment,
             batch_size=self.batch_size, size=self._size, mean=self._mean,

@@ -103,7 +103,9 @@ class EvalTransform:
                  mean=CLIP_PIXEL_MEAN, std=CLIP_PIXEL_STD,
                  center_crop_mode=True, to_uint8=False):
         self.size = size if isinstance(size, int) else size[0]
-        self.full_size = size if isinstance(size, tuple) else (size, size)
+        # accept int | tuple | list (yacs INPUT.SIZE parses as a list)
+        self.full_size = (size, size) if isinstance(size, int) else \
+            tuple(size)
         self.interpolation = interpolation
         self.mean, self.std = mean, std
         self.center_crop_mode = center_crop_mode

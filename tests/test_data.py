@@ -89,6 +89,26 @@ def test_elevater_single_task(cfg, tmp_path):
     assert batch["label"].ndim == 1  # multiclass -> int labels
 
 
+def test_elevater_one_shot_keeps_train_set(cfg, tmp_path):
+    """1-shot: no 80/20 split — val IS the train set (feature.py:602-605);
+    a split would move every class's single item to val and train nothing."""
+    make_elevater_task(tmp_path, "cifar-10", 10, n_train=20, n_test=8)
+    cfg.DATASET.DATASET = "cifar-10"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    dm = ElevaterDataManager(cfg)
+    assert len(dm.train_loader_x.dataset) == 10  # one per class, kept
+    assert len(dm.val_loader.dataset) == 10      # same items as train
+
+    make_elevater_task(tmp_path, "voc-2007-classification", 20,
+                       n_train=40, n_test=8, multilabel=True)
+    cfg.DATASET.DATASET = "voc-2007-classification,cifar-10"
+    cfg.DATASET.MULTITASK = True
+    mdm = ElevaterMultitaskDataManager(cfg)
+    n_train = len(mdm.train_loader_x.dataset)
+    assert n_train > 0
+    assert len(mdm.val_loader.dataset) == n_train
+
+
 def test_elevater_multilabel_and_multitask(cfg, tmp_path):
     make_elevater_task(tmp_path, "voc-2007-classification", 20,
                        n_train=30, n_test=8, multilabel=True)

@@ -84,9 +84,11 @@ def test_build_manifest_image_folder(tmp_path):
 def test_knowledge_texts():
     from mvlpt_tpu.data.elevater.knowledge import knowledge_texts
 
-    # wiki definition present for cifar-10 classes
+    # wiki definition present for cifar-10 classes; the leading space is
+    # load-bearing (feature.py:509: ' ' + ' '.join(word_tokenize(...)) —
+    # it keeps the template's '.' and the ';' as separate BPE tokens)
     texts = knowledge_texts("cifar-10", "cat", use_wiki=True)
-    assert len(texts) == 1 and texts[0].startswith("; cat ,")
+    assert len(texts) == 1 and texts[0].startswith(" ; cat ,")
     # gpt3 appended in WIKI_AND_GPT3 mode
     both = knowledge_texts("cifar-10", "cat", use_wiki=True, use_gpt3=True,
                            n_gpt3=2)
@@ -100,6 +102,43 @@ def test_knowledge_texts():
     # hierarchy path capped at 3 hops
     h = knowledge_texts("cifar-10", "cat", use_hierarchy=True)
     assert "cat feline carnivore" in h[0]
+
+
+def test_eval_mode_restores_full_deterministic_pass():
+    """loader.eval_mode on a python train loader: clears host_shard
+    (eval is replicated), keeps tails, and swaps the augmenting
+    TrainTransform for its EvalTransform counterpart."""
+    from PIL import Image
+
+    from mvlpt_tpu.data.loader import (
+        DataLoader, _TransformedDataset, eval_mode)
+    from mvlpt_tpu.data.transforms import EvalTransform, TrainTransform
+
+    class _Item:
+        def __init__(self, i):
+            self.impath = f"mem{i}"
+            self.label = i % 2
+            self.domain = 0
+
+    import mvlpt_tpu.data.loader as loader_mod
+
+    orig = loader_mod._load_image
+    loader_mod._load_image = lambda p: Image.new("RGB", (48, 40), (128, 7, 9))
+    try:
+        tfm = TrainTransform(size=16, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5))
+        ds = _TransformedDataset([_Item(i) for i in range(5)], tfm)
+        loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=0,
+                            seed=3, drop_last=True, host_shard=(0, 1))
+        eval_mode(loader)
+        assert loader.host_shard is None and not loader.drop_last
+        assert isinstance(ds.transform, EvalTransform)
+        a = [b["image"] for b in loader]
+        b = [b["image"] for b in loader]
+        assert len(a) == 3  # tail kept (5 items, bs 2)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)  # deterministic pass
+    finally:
+        loader_mod._load_image = orig
 
 
 def test_knowledge_augmented_text_features():
