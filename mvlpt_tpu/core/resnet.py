@@ -31,20 +31,13 @@ class RNConfig:
     heads: int = 32  # width * 32 // 64
 
 
-def _bn(x, p, eps=1e-5):
-    inv = jax.lax.rsqrt(p["var"].astype(jnp.float32) + eps)
-    scale = (p["scale"].astype(jnp.float32) * inv).astype(x.dtype)
-    bias = (p["bias"].astype(jnp.float32)
-            - p["mean"].astype(jnp.float32) * p["scale"].astype(jnp.float32) * inv
-            ).astype(x.dtype)
-    return x * scale + bias
-
-
-def _conv(x, kernel, stride=1, padding="SAME"):
-    return jax.lax.conv_general_dilated(
-        x, kernel.astype(x.dtype), (stride, stride), padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+# Shared with the torchvision/EfficientNet towers: folded inference BN
+# and torch-symmetric-padding conv. The padding rule is parity-critical
+# for the stride-2 stem conv1: XLA's "SAME" pads (0, 1) there while
+# torch's padding=1 pads (1, 1) — every downstream activation shifts
+# (masked in a small random tower by the attention pool's spatial mean,
+# catastrophic with trained weights).
+from mvlpt_tpu.core.zoo import _bn, _conv  # noqa: E402
 
 
 def _avgpool(x, k):

@@ -18,6 +18,10 @@ Design notes (measured on v5e, ViT-B/16 shapes):
   * the custom VJP recomputes probabilities in the backward kernel
     (flash-attention style), so residuals are just (q, k, v) — the XLA
     path must store the probability tensor for the backward pass.
+  * a stored-probs hybrid (Pallas forward writing compute-dtype probs,
+    XLA einsum backward) was measured and removed: it did not beat the
+    fused residual-block kernels (ops/block.py) that 'auto' selects,
+    and no config knob reached it.
 """
 
 from __future__ import annotations
@@ -59,12 +63,7 @@ def _block_rows(bh: int, s_pad: int, d: int, n_f32_mats: int,
     return 1
 
 
-def _interpret() -> bool:
-    """Compile on TPU; interpret elsewhere (CPU tests, multichip dryrun)."""
-    try:
-        return jax.devices()[0].platform not in ("tpu", "axon")
-    except RuntimeError:
-        return True
+from mvlpt_tpu.ops._runtime import interpret as _interpret  # noqa: E402
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale):
@@ -100,72 +99,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
     dq_ref[...] = dq.astype(dq_ref.dtype)
     dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
-
-
-def _fwd_kernel_sp(q_ref, k_ref, v_ref, mask_ref, o_ref, p_ref, *, scale):
-    """Forward that ALSO stores compute-dtype probabilities for the
-    backward: fp32 scores/softmax never leave VMEM; only the (G, S, S)
-    low-precision probs are written to HBM (half the residual bytes of
-    the XLA path's fp32 tensor, and no fp32 logits round-trip)."""
-    q, k, v = q_ref[...], k_ref[...], v_ref[...]  # (G, S, D)
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32)
-    s = s * scale + mask_ref[...][None]
-    p = jax.nn.softmax(s, axis=-1).astype(p_ref.dtype)
-    o = jax.lax.dot_general(
-        p, v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    o_ref[...] = o.astype(o_ref.dtype)
-    p_ref[...] = p
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _attend_sp(q, k, v, mask, scale):
-    return _attend_sp_fwd(q, k, v, mask, scale)[0]
-
-
-def _attend_sp_fwd(q, k, v, mask, scale):
-    bh, s_pad, d = q.shape
-    g = _block_rows(bh, s_pad, d, n_f32_mats=3, n_seq_bufs=5)
-    row, mspec = _specs(g, s_pad, d)
-    pspec = pl.BlockSpec((g, s_pad, s_pad), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    o, p = pl.pallas_call(
-        functools.partial(_fwd_kernel_sp, scale=scale),
-        grid=(bh // g,),
-        in_specs=[row, row, row, mspec],
-        out_specs=(row, pspec),
-        out_shape=(jax.ShapeDtypeStruct(q.shape, q.dtype),
-                   jax.ShapeDtypeStruct((bh, s_pad, s_pad), q.dtype)),
-        interpret=_interpret(),
-    )(q, k, v, mask)
-    return o, (q, k, v, p)
-
-
-def _attend_sp_bwd(scale, res, do):
-    """Stored-probs backward: plain XLA einsums over the saved
-    compute-dtype probabilities — every matmul runs on the bf16 MXU fast
-    path with fp32 accumulation; only the softmax-VJP elementwise step
-    runs in fp32. (The flash-style recomputing Pallas backward measured
-    SLOWER than this at CLIP scale; see select_attn_fn.)"""
-    q, k, v, p = res
-    dtype = v.dtype
-    do = do.astype(dtype)
-    dv = jnp.einsum("gqk,gqd->gkd", p, do,
-                    preferred_element_type=jnp.float32).astype(dtype)
-    dp = jnp.einsum("gqd,gkd->gqk", do, v,
-                    preferred_element_type=jnp.float32).astype(dtype)
-    p32, dp32 = p.astype(jnp.float32), dp.astype(jnp.float32)
-    ds = (p32 * (dp32 - jnp.sum(p32 * dp32, axis=-1, keepdims=True))
-          * scale).astype(dtype)
-    dq = jnp.einsum("gqk,gkd->gqd", ds, k,
-                    preferred_element_type=jnp.float32).astype(dtype)
-    dk = jnp.einsum("gqk,gqd->gkd", ds, q,
-                    preferred_element_type=jnp.float32).astype(dtype)
-    return dq, dk, dv, None
-
-
-_attend_sp.defvjp(_attend_sp_fwd, _attend_sp_bwd)
 
 
 def _specs(g, s_pad, d):
@@ -247,25 +180,11 @@ def pallas_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return _padded_call(q, k, v, mask, _attend)
 
 
-def pallas_attention_sp(q: jax.Array, k: jax.Array, v: jax.Array,
-                        mask: jax.Array | None = None) -> jax.Array:
-    """Stored-probs hybrid ``attn_fn``: Pallas fused forward that writes
-    compute-dtype probabilities as the only (B,H,S,S) residual, XLA
-    stored-probs backward on the bf16 MXU fast path."""
-    return _padded_call(q, k, v, mask, _attend_sp)
-
-
-def available() -> bool:
-    if not _HAS_PLTPU:
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except RuntimeError:
-        return False
+from mvlpt_tpu.ops._runtime import available  # noqa: E402,F401
 
 
 def select_attn_fn(use_pallas: str | bool = "auto",
-                   min_seq: int = 0, mesh=None) -> Callable | None:
+                   mesh=None) -> Callable | None:
     """Resolve the TPU.USE_PALLAS config knob to an attn_fn or None
     (None = the XLA einsum path in core.layers.attention).
 

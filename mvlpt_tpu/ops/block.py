@@ -94,11 +94,7 @@ def _pick_g(b: int, cap: int = 1) -> int:
     return 1
 
 
-def _interpret() -> bool:
-    try:
-        return jax.devices()[0].platform not in ("tpu", "axon")
-    except RuntimeError:
-        return True
+from mvlpt_tpu.ops._runtime import interpret as _interpret  # noqa: E402
 
 
 def _ln2d(x32, scale32, bias32, eps):
@@ -383,7 +379,13 @@ def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
         hpre32 = hpre32 + bfc32
         hpre = hpre32.astype(dtype)
         hpre_ref[gi] = hpre
-        a = (hpre32 * jax.nn.sigmoid(1.702 * hpre32)).astype(dtype)
+        # GELU on the compute-dtype-rounded pre-activation: matches the
+        # XLA path (core/layers.mlp rounds the matmul before quick_gelu)
+        # and the backward kernel, which recomputes gelu' from the saved
+        # rounded hpre — gelu(fp32) here would make fwd and bwd evaluate
+        # the activation at different points.
+        h32r = hpre.astype(jnp.float32)
+        a = (h32r * jax.nn.sigmoid(1.702 * h32r)).astype(dtype)
         y = _dot(a, wproj_ref[...], ((1,), (0,))) + bproj32
         y_ref[gi] = x + y.astype(dtype)
 
@@ -494,34 +496,38 @@ def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
     kernel on each device's local batch rows, and autodiff maps the
     hand-derived VJP kernels the same way. Rows that do not divide the
     data axis (e.g. a replicated text tower whose row-blocks aren't a
-    multiple of dp) fall back to replicated specs — every device runs
-    the full grid, exactly what GSPMD would have picked for an
-    unpartitionable op. Tensor-parallel meshes keep the XLA path
-    (select_attn_fn returns None when model axis > 1)."""
+    multiple of dp) are zero-padded up to it and sliced back after: the
+    batch axis stays mapped, which keeps the AD transpose exact. (A
+    replicated P() fallback would be wrong under differentiation:
+    check_rep=False shard_map transposes an unmapped input with an
+    unconditional psum, so every device's full-batch dx would be summed
+    — x's cotangent scaled by the mesh size.) Tensor-parallel meshes
+    keep the XLA path (select_attn_fn returns None when model axis > 1)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_data = axes.get("data", 1)
-    xspec = P("data") if (n_data > 1 and x.shape[0] % n_data == 0) else P()
+    n_rows = x.shape[0]
+    pad = (-n_rows) % n_data
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+    xspec = P("data") if n_data > 1 else P()
 
     if mask is None:
         fn = shard_map(
             lambda x_l, p_l: fused_residual_block(x_l, p_l, n_heads, None),
             mesh=mesh, in_specs=(xspec, P()), out_specs=xspec,
             check_rep=False)
-        return fn(x, p)
-    fn = shard_map(
-        lambda x_l, p_l, m: fused_residual_block(x_l, p_l, n_heads, m),
-        mesh=mesh, in_specs=(xspec, P(), P()), out_specs=xspec,
-        check_rep=False)
-    return fn(x, p, mask)
+        out = fn(x, p)
+    else:
+        fn = shard_map(
+            lambda x_l, p_l, m: fused_residual_block(x_l, p_l, n_heads, m),
+            mesh=mesh, in_specs=(xspec, P(), P()), out_specs=xspec,
+            check_rep=False)
+        out = fn(x, p, mask)
+    return out[:n_rows] if pad else out
 
 
-def available() -> bool:
-    if not _HAS_PLTPU:
-        return False
-    try:
-        return jax.devices()[0].platform in ("tpu", "axon")
-    except RuntimeError:
-        return False
+from mvlpt_tpu.ops._runtime import available  # noqa: E402,F401

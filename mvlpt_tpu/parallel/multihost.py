@@ -104,9 +104,9 @@ def put_tree_on_mesh(tree, specs, mesh):
     from jax.sharding import NamedSharding
 
     if jax.process_count() == 1:
-        return jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
-            tree, specs)
+        from mvlpt_tpu.parallel.mesh import shard_tree
+
+        return shard_tree(tree, specs, mesh)
 
     def put(x, spec):
         x = np.asarray(x)

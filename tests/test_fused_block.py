@@ -187,6 +187,32 @@ class TestShardedFusedBlock:
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=2e-4, atol=1e-4)
 
+    def test_grads_match_unsharded_non_divisible_rows(self):
+        """Rows not divisible by the data axis (6 rows, dp=4): the padded
+        sharded path must give the same dx as the plain kernel — the old
+        replicated P() fallback summed every device's full-batch dx
+        (cotangent scaled by the mesh size) under check_rep=False."""
+        rng = np.random.RandomState(5)
+        b, s, w, h = 6, 9, 32, 4
+        x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+        p = _params(rng, w)
+        mesh = self._mesh()
+
+        def loss_plain(x_):
+            return jnp.sum(bops.fused_residual_block(x_, p, h, None) ** 2)
+
+        def loss_sharded(x_):
+            return jnp.sum(bops.fused_residual_block_sharded(
+                x_, p, h, None, mesh) ** 2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.jit(loss_sharded)(x)),
+            np.asarray(loss_plain(x)), rtol=2e-5)
+        g_ref = jax.grad(loss_plain)(x)
+        g = jax.jit(jax.grad(loss_sharded))(x)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   rtol=2e-4, atol=1e-4)
+
     def test_select_attn_fn_mesh_routing(self):
         from mvlpt_tpu.ops.attention import select_attn_fn
 

@@ -121,7 +121,11 @@ def test_openai_rn_converter_parity(ref):
     with torch.no_grad():
         want = tm.encode_image(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
     got = np.asarray(clip_core.encode_image(params, jnp.asarray(imgs), rcfg))
-    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+    # Tight on purpose: a padding/layout slip in the conv stack measures
+    # ~1e-4 here (the random attention pool's spatial mean nearly washes
+    # it out) but is catastrophic with trained weights — 5e-4 once let
+    # an asymmetric-SAME stem conv through.
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
