@@ -219,9 +219,9 @@ def caption_cider(predictions, targets, n: int = 4, sigma: float = 6.0) -> dict:
 # METEOR (exact-match stage)
 # --------------------------------------------------------------------------
 
-def _align(cand, ref):
-    """Greedy left-to-right exact alignment; returns list of
-    (cand_idx, ref_idx) matches."""
+def _align_greedy(cand, ref):
+    """Greedy left-to-right exact alignment (fallback for pathological
+    duplicate-heavy inputs); returns list of (cand_idx, ref_idx)."""
     used = set()
     matches = []
     for i, w in enumerate(cand):
@@ -231,6 +231,82 @@ def _align(cand, ref):
                 matches.append((i, j))
                 break
     return matches
+
+
+_ALIGN_NODE_CAP = 20000
+
+
+def _align(cand, ref):
+    """Maximum exact matching that MINIMIZES the METEOR chunk count —
+    the official matcher's objective (the fragmentation penalty is
+    defined over the minimum-chunk alignment; a greedy alignment can
+    report more chunks for the same matches and understate the score).
+    Exhaustive DFS with per-word match quotas; captions are short and
+    duplicates rare, with a node cap falling back to greedy."""
+    from collections import Counter
+
+    cr = Counter(ref)
+    quota = {w: min(c, cr[w]) for w, c in Counter(cand).items() if w in cr}
+    if not quota:
+        return []
+    opts = [[j for j, r in enumerate(ref) if r == w] if w in quota else []
+            for w in cand]
+    remaining = Counter(w for w in cand if w in quota)
+
+    best = {"chunks": None, "matches": None, "nodes": 0}
+
+    def chunks_of(ms):
+        runs = 1
+        for (pi, pj), (ci, cj) in zip(ms, ms[1:]):
+            if ci != pi + 1 or cj != pj + 1:
+                runs += 1
+        return runs
+
+    def dfs(i, used, matched, acc):
+        """Returns False once the node cap is hit (search incomplete)."""
+        best["nodes"] += 1
+        if best["nodes"] > _ALIGN_NODE_CAP:
+            return False
+        if i == len(cand):
+            c = chunks_of(acc) if acc else 0
+            if best["chunks"] is None or c < best["chunks"]:
+                best["chunks"], best["matches"] = c, list(acc)
+            return True
+        w = cand[i]
+        if w not in quota:
+            return dfs(i + 1, used, matched, acc)
+        remaining[w] -= 1  # this occurrence leaves the future pool
+        ok = True
+        if matched[w] < quota[w]:
+            for j in opts[i]:
+                if j in used:
+                    continue
+                used.add(j)
+                matched[w] += 1
+                acc.append((i, j))
+                ok = dfs(i + 1, used, matched, acc)
+                acc.pop()
+                matched[w] -= 1
+                used.discard(j)
+                if not ok:
+                    break
+        # skipping this occurrence is legal only if later occurrences
+        # can still fill the word's match quota (max cardinality)
+        if ok and matched[w] + remaining[w] >= quota[w]:
+            ok = dfs(i + 1, used, matched, acc)
+        remaining[w] += 1
+        return ok
+
+    completed = dfs(0, set(), Counter(), [])
+    if not completed and best["matches"] is None:
+        return _align_greedy(cand, ref)
+    if not completed:
+        # cap hit mid-search: keep the best complete alignment found if
+        # it has maximum cardinality, else fall back
+        g = _align_greedy(cand, ref)
+        if len(best["matches"]) < len(g):
+            return g
+    return best["matches"]
 
 
 def _chunks(matches) -> int:

@@ -88,6 +88,34 @@ def _match_class(class_preds, class_gts, iou_thr):
     return np.array(is_correct, bool), np.array(scores)
 
 
+def _match_class_coco(class_preds, class_gts, iou_thr):
+    """COCO matching (pycocotools cocoeval.py evaluateImg): per
+    detection in descending score order, match the UNCLAIMED GT with the
+    highest IoU >= thr — unlike the VOC greedy argmax, a detection whose
+    best-IoU GT is already claimed may still match another GT."""
+    order = sorted(class_preds, key=lambda p: -p[1])
+    claimed = {}
+    is_correct, scores = [], []
+    for img_idx, score, box in order:
+        ok = False
+        gt_boxes = class_gts.get(img_idx)
+        if gt_boxes:
+            used = claimed.setdefault(img_idx, set())
+            best_iou, best = iou_thr, -1
+            for gi, g in enumerate(gt_boxes):
+                if gi in used:
+                    continue
+                v = _iou(box, g)
+                if v >= best_iou:
+                    best_iou, best = v, gi
+            if best >= 0:
+                used.add(best)
+                ok = True
+        is_correct.append(ok)
+        scores.append(score)
+    return np.array(is_correct, bool), np.array(scores)
+
+
 def _ap_sklearn(is_correct, scores, true_num) -> float:
     """AP of one class, reference semantics (metrics.py:666-673):
     sklearn average precision over the correctness sequence, scaled by
@@ -149,8 +177,7 @@ def _ap_coco(is_correct, scores, true_num) -> float:
     recall = tp / true_num
     precision = tp / np.maximum(tp + fp, 1e-12)
     # Monotone non-increasing precision envelope (right-to-left max).
-    for i in range(precision.size - 1, 0, -1):
-        precision[i - 1] = max(precision[i - 1], precision[i])
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
     samples = np.linspace(0.0, 1.0, 101)
     idx = np.searchsorted(recall, samples, side="left")
     sampled = np.where(idx < precision.size, precision[np.minimum(idx, precision.size - 1)], 0.0)
@@ -171,12 +198,20 @@ def detection_map_coco(predictions, targets, ious=(0.3, 0.5, 0.75, 0.9),
         report_tag_wise = [False] * len(ious)
     assert len(ious) == len(report_tag_wise)
 
-    # Cap detections per image by score (COCO maxDets).
+    # Cap detections per (image, category) by score — pycocotools
+    # truncates each per-category list to maxDets, not the whole image.
     capped = []
     for boxes in predictions:
-        if len(boxes) > max_dets:
-            boxes = sorted(boxes, key=lambda b: -float(b[1]))[:max_dets]
-        capped.append(boxes)
+        by_cls: dict = {}
+        for b in boxes:
+            by_cls.setdefault(int(b[0]), []).append(b)
+        kept = []
+        for cls_boxes in by_cls.values():
+            if len(cls_boxes) > max_dets:
+                cls_boxes = sorted(
+                    cls_boxes, key=lambda b: -float(b[1]))[:max_dets]
+            kept.extend(cls_boxes)
+        capped.append(kept)
 
     preds, gts = _group_by_class(capped, targets)
     classes = sorted(set(preds) | set(gts))
@@ -185,7 +220,7 @@ def detection_map_coco(predictions, targets, ious=(0.3, 0.5, 0.75, 0.9),
     for iou, want_tags in zip(ious, report_tag_wise):
         aps = {}
         for cls in classes:
-            is_correct, scores = _match_class(
+            is_correct, scores = _match_class_coco(
                 preds.get(cls, []), gts.get(cls, {}), iou)
             true_num = sum(len(v) for v in gts.get(cls, {}).values())
             if true_num == 0:

@@ -559,8 +559,6 @@ class PromptTrainer:
                 task_eval = {t: {"y_pred": [], "y_true": []}
                              for t in self.dm._task_names}
 
-        from mvlpt_tpu.utils.pipeline import pipelined_inference
-
         def _dispatch(b):
             return self.model_inference(
                 jnp.asarray(b["image"]),

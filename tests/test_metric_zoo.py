@@ -82,6 +82,35 @@ def test_detection_coco_partial_recall():
     assert rep["mAP_50"] == pytest.approx(51 / 101, abs=1e-6)
 
 
+def test_detection_coco_best_unclaimed_gt_matching():
+    """pycocotools matches each detection to the best UNCLAIMED GT: d1
+    takes A (its argmax), d2's argmax is also A but it still matches B
+    — both TP (the VOC greedy argmax would mark d2 FP)."""
+    A = [0, 0, 100, 100]
+    B = [0, 40, 100, 140]          # overlaps A
+    targets = [[[0, *A], [0, *B]]]
+    d1 = [0, 0.9, 0, 0, 100, 100]   # IoU(A)=1.0, IoU(B)=0.43
+    d2 = [0, 0.8, 0, 20, 100, 120]  # IoU(A)=IoU(B)=0.67, argmax ties to A
+    predictions = [[d1, d2]]
+    rep = detection_map_coco(predictions, targets, ious=(0.4,))
+    assert rep["mAP_40"] == pytest.approx(1.0)
+
+
+def test_detection_coco_max_dets_per_category():
+    """maxDets truncates per (image, category), not per image: 4 class-1
+    detections must not evict class-0's lower-scoring TP."""
+    targets = [[[0, 0, 0, 100, 100], [1, 200, 200, 300, 300]]]
+    cls0_tp = [0, 0.1, 0, 0, 100, 100]      # lowest score in the image
+    cls1 = [[1, 0.9, 200, 200, 300, 300]] + [
+        [1, 0.8 - i * 0.1, 400, 400, 500, 500] for i in range(3)]
+    rep = detection_map_coco([[cls0_tp, *cls1]], targets, ious=(0.5,),
+                             max_dets=4)
+    # per-image cap of 4 would drop cls0_tp -> AP_0 = 0; per-category
+    # keeps it -> both classes AP 1.0... cls1 has 3 FPs after its TP,
+    # envelope keeps AP 1.0 (precision 1 at recall 1 comes first)
+    assert rep["mAP_50"] == pytest.approx(1.0)
+
+
 # ---------------------------------------------------------------------------
 # matting
 # ---------------------------------------------------------------------------
@@ -196,6 +225,17 @@ def test_meteor_perfect_and_fragmented():
                                [["the cat sat down"]])["METEOR"]
     assert perfect == pytest.approx(1.0 - 0.5 * (1 / 4) ** 3)
     assert scrambled < perfect
+
+
+def test_meteor_minimum_chunk_alignment():
+    """The fragmentation penalty is defined over the minimum-chunk
+    maximum matching: cand 'a b' vs ref 'b a b' must align a->ref[1],
+    b->ref[2] (1 chunk), not the greedy a->ref[1], b->ref[0] (2 chunks)."""
+    got = caption_meteor(["a b"], [["b a b"]])["METEOR"]
+    p, r = 2 / 2, 2 / 3
+    fmean = 10 * p * r / (r + 9 * p)
+    want = fmean * (1 - 0.5 * (1 / 2) ** 3)
+    assert got == pytest.approx(want, abs=1e-9)
 
 
 def test_caption_report_dispatch():
