@@ -31,23 +31,28 @@ import os
 
 
 def from_image_folder(src: str, splits=("train", "test")):
-    rows = {}
-    classes = None
+    # Label ids come from the sorted UNION of class folders across all
+    # splits — enumerating each split separately would silently shift
+    # every label after a class that is missing from one split.
+    present = {}
     for split in splits:
         sdir = os.path.join(src, split)
-        if not os.path.isdir(sdir):
-            continue
-        folders = sorted(f.name for f in os.scandir(sdir) if f.is_dir())
-        if classes is None:
-            classes = folders
+        if os.path.isdir(sdir):
+            present[split] = sorted(
+                f.name for f in os.scandir(sdir) if f.is_dir())
+    classes = sorted({c for folders in present.values() for c in folders})
+    label_of = {c: i for i, c in enumerate(classes)}
+    rows = {}
+    for split, folders in present.items():
         rows[split] = []
-        for label, folder in enumerate(folders):
-            fdir = os.path.join(sdir, folder)
+        for folder in folders:
+            fdir = os.path.join(src, split, folder)
             for name in sorted(os.listdir(fdir)):
                 if name.startswith("."):
                     continue
-                rows[split].append([f"{split}/{folder}/{name}", [label]])
-    return rows, len(classes or [])
+                rows[split].append(
+                    [f"{split}/{folder}/{name}", [label_of[folder]]])
+    return rows, len(classes)
 
 
 def from_index_tsv(src: str, splits=("train", "test")):

@@ -40,8 +40,8 @@ _COOP_EXPECTATIONS = {
                    ["imagenetv2-matched-frequency-format-val"],
                    ["classnames.txt"]),
     "ImageNetSketch": ("imagenet-sketch", ["images"], ["classnames.txt"]),
-    "ImageNetA": ("imagenet-adversarial", ["images"], ["classnames.txt"]),
-    "ImageNetR": ("imagenet-rendition", ["images"], ["classnames.txt"]),
+    "ImageNetA": ("imagenet-adversarial", ["imagenet-a"], ["classnames.txt"]),
+    "ImageNetR": ("imagenet-rendition", ["imagenet-r"], ["classnames.txt"]),
 }
 
 

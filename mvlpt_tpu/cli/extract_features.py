@@ -103,26 +103,17 @@ def cli():
             return clip_core.encode_image(backbone, images, clip_cfg)
     dm = build_data_manager(cfg)
 
+    from mvlpt_tpu.utils.pipeline import dump_split_features
+
     os.makedirs(args.output_dir, exist_ok=True)
     for split, loader in (("train", dm.train_loader_x), ("val", dm.val_loader),
                           ("test", dm.test_loader)):
         if loader is None:
             continue
-        from mvlpt_tpu.data.loader import eval_mode
-
-        eval_mode(loader)
-        from mvlpt_tpu.utils.pipeline import pipelined_inference
-
-        feats, labels = [], []
-        for f, batch in pipelined_inference(
-                loader, lambda b: visual(jnp.asarray(b["image"]))):
-            n = batch.get("n_valid", len(batch["image"]))
-            feats.append(f.astype(np.float32)[:n])
-            labels.append(np.asarray(batch["label"])[:n])
-        np.savez(os.path.join(args.output_dir, f"{split}.npz"),
-                 feature_list=np.concatenate(feats),
-                 label_list=np.concatenate(labels))
-        print(f"{split}: {sum(len(l) for l in labels)} image features")
+        n = dump_split_features(
+            loader, lambda b: visual(jnp.asarray(b["image"])),
+            os.path.join(args.output_dir, f"{split}.npz"))
+        print(f"{split}: {n} image features")
 
     # ---- text features: template averaging (+ optional knowledge rows)
     if backbone is None:

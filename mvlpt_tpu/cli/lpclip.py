@@ -59,27 +59,18 @@ def extract_features(args):
         images = device_normalize(images, mean, std)
         return clip_core.encode_image(backbone, images, clip_cfg)
 
+    from mvlpt_tpu.utils.pipeline import dump_split_features
+
     os.makedirs(args.output_dir, exist_ok=True)
     splits = {"train": dm.train_loader_x, "val": dm.val_loader,
               "test": dm.test_loader}
     for split, loader in splits.items():
         if loader is None:
             continue
-        from mvlpt_tpu.data.loader import eval_mode
-
-        eval_mode(loader)
-        from mvlpt_tpu.utils.pipeline import pipelined_inference
-
-        feats, labels = [], []
-        for f, batch in pipelined_inference(
-                loader, lambda b: visual_features(jnp.asarray(b["image"]))):
-            n = batch.get("n_valid", len(batch["image"]))
-            feats.append(f.astype(np.float32)[:n])
-            labels.append(np.asarray(batch["label"])[:n])
         path = os.path.join(args.output_dir, f"{split}.npz")
-        np.savez(path, feature_list=np.concatenate(feats),
-                 label_list=np.concatenate(labels))
-        print(f"{split}: {len(np.concatenate(labels))} features -> {path}")
+        n = dump_split_features(
+            loader, lambda b: visual_features(jnp.asarray(b["image"])), path)
+        print(f"{split}: {n} features -> {path}")
 
 
 def probe(args):

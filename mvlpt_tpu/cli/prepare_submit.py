@@ -31,7 +31,16 @@ def dump_predictions(logits: np.ndarray, task: str, out_dir: str,
     x = logits.astype(np.float64)
     x = np.exp(x - x.max(axis=1, keepdims=True))
     probs = x / x.sum(axis=1, keepdims=True)
-    validate_predictions(probs, probs.shape[1])
+    # validate against the task's KNOWN class count (the reference
+    # checks the dataset's, prediction_submission.py:72-93) — checking
+    # against probs' own width would be tautological
+    try:
+        from mvlpt_tpu.data.elevater import class_map
+
+        n_classes = len(class_map(task))
+    except (KeyError, FileNotFoundError):
+        n_classes = probs.shape[1]  # unknown task: shape checks only
+    validate_predictions(probs, n_classes)
     payload = {
         "model_name": model_name,
         "dataset_name": task,

@@ -41,6 +41,14 @@ class CfgNode(dict):
             raise AttributeError(f"Cannot set {name}: CfgNode is frozen")
         self[name] = value
 
+    def __setitem__(self, key, value):
+        # enforced here (not just __setattr__) so merge_from_file /
+        # merge_from_list / _merge_into also raise on a frozen config,
+        # matching yacs ("Attempted to set ... immutable")
+        if getattr(self, CfgNode._FROZEN, False):
+            raise AttributeError(f"Cannot set {key}: CfgNode is frozen")
+        super().__setitem__(key, value)
+
     # -- freezing ----------------------------------------------------------
     def freeze(self):
         object.__setattr__(self, CfgNode._FROZEN, True)

@@ -271,6 +271,11 @@ class Food101(_SplitJsonDataset):
     dataset_dir = "food-101"
     split_filename = "split_zhou_Food101.json"
 
+    def build_split(self, cfg):
+        # food101.py:27-28 falls back to DTD.read_and_split_data when
+        # the split json is absent
+        return read_and_split_image_folder(self.image_dir)
+
 
 @DATASET_REGISTRY.register()
 class SUN397(_SplitJsonDataset):
@@ -401,9 +406,13 @@ class ImageNet(DatasetBase):
             self.image_dir = self.dataset_dir
         preprocessed = os.path.join(self.dataset_dir, "preprocessed.pkl")
         if os.path.exists(preprocessed):
-            with open(preprocessed, "rb") as f:
-                cache = pickle.load(f)
-            train, test = cache["train"], cache["test"]
+            # reference-written caches hold Dassl Datum objects —
+            # load_foreign_pickle stubs the dassl module (as Bamboo does)
+            from mvlpt_tpu.data.datum import load_foreign_pickle
+
+            cache = load_foreign_pickle(preprocessed)
+            train = DatasetBase._coerce_items(cache["train"])
+            test = DatasetBase._coerce_items(cache["test"])
         else:
             classnames = read_wnid_classnames(
                 os.path.join(self.dataset_dir, "classnames.txt"))
@@ -437,6 +446,8 @@ class _ImageNetVariant(DatasetBase):
 
     dataset_dir = ""
     image_subdir = "images"
+    # imagenet_a.py:8 / imagenet_r.py:8 skip stray non-class entries
+    ignored = ("README.txt",)
 
     def __init__(self, cfg):
         root = os.path.abspath(os.path.expanduser(cfg.DATASET.ROOT))
@@ -448,14 +459,21 @@ class _ImageNetVariant(DatasetBase):
         super().__init__(train_x=data, test=data)
 
     def read_data(self, classnames):
+        """Labels enumerate the PRESENT folders densely (imagenet_a.py:38
+        `for label, folder in enumerate(folders)`): ImageNet-A/R ship 200
+        of the 1000 classnames.txt wnids, and the reference scores them
+        as a dense 200-way problem, not sparse 1000-way labels."""
         items = []
-        folders = sorted(f.name for f in os.scandir(self.image_dir) if f.is_dir())
-        wnids = list(classnames.keys())
-        for folder in folders:
-            label = wnids.index(folder)
+        folders = sorted(
+            f.name for f in os.scandir(self.image_dir)
+            if f.is_dir() and not f.name.startswith(".")
+            and f.name not in self.ignored)
+        for label, folder in enumerate(folders):
             cname = classnames[folder]
             fdir = os.path.join(self.image_dir, folder)
             for imname in sorted(os.listdir(fdir)):
+                if imname.startswith("."):  # listdir_nohidden parity
+                    continue
                 items.append(Datum(impath=os.path.join(fdir, imname),
                                    label=label, classname=cname))
         return items
@@ -475,6 +493,8 @@ class ImageNetV2(_ImageNetVariant):
             cdir = os.path.join(self.image_dir, str(label))
             cname = classnames[wnids[label]]
             for imname in sorted(os.listdir(cdir)):
+                if imname.startswith("."):  # listdir_nohidden parity
+                    continue
                 items.append(Datum(impath=os.path.join(cdir, imname),
                                    label=label, classname=cname))
         return items
@@ -489,16 +509,20 @@ class ImageNetSketch(_ImageNetVariant):
 
 @DATASET_REGISTRY.register()
 class ImageNetA(_ImageNetVariant):
-    """datasets/imagenet_a.py (200-class subset, folder wnids)"""
+    """datasets/imagenet_a.py (200-class subset, folder wnids; images
+    under imagenet-adversarial/imagenet-a/, imagenet_a.py:23)"""
 
     dataset_dir = "imagenet-adversarial"
+    image_subdir = "imagenet-a"
 
 
 @DATASET_REGISTRY.register()
 class ImageNetR(_ImageNetVariant):
-    """datasets/imagenet_r.py (200-class subset)"""
+    """datasets/imagenet_r.py (200-class subset; images under
+    imagenet-rendition/imagenet-r/, imagenet_r.py:23)"""
 
     dataset_dir = "imagenet-rendition"
+    image_subdir = "imagenet-r"
 
 
 @DATASET_REGISTRY.register()

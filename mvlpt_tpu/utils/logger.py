@@ -50,7 +50,11 @@ def setup_logger(output_dir: str | None = None) -> logging.Logger:
     for h in list(logger.handlers):
         logger.removeHandler(h)
     fmt = logging.Formatter("%(message)s")
-    sh = logging.StreamHandler(sys.stdout)
+    # bind to the raw terminal stream, not a _Tee from a previous call —
+    # a tee'd StreamHandler would write every logger line to log.txt
+    # twice (once via the tee, once via the FileHandler)
+    stream = sys.stdout.stream if isinstance(sys.stdout, _Tee) else sys.stdout
+    sh = logging.StreamHandler(stream)
     sh.setFormatter(fmt)
     logger.addHandler(sh)
     if output_dir:

@@ -30,3 +30,22 @@ def pipelined_inference(loader: Iterable[dict],
         pend = (dev, batch)
     if pend is not None:
         yield np.asarray(pend[0]), pend[1]
+
+
+def dump_split_features(loader, dispatch: Callable[[dict], object],
+                        out_path: str) -> int:
+    """Extract features over a full deterministic pass of ``loader`` and
+    save the reference npz contract (``feature_list``/``label_list``,
+    lpclip/feat_extractor.py:105-167). Shared by the lpclip and
+    extract-features CLIs. Returns the number of rows written."""
+    from mvlpt_tpu.data.loader import eval_mode
+
+    eval_mode(loader)
+    feats, labels = [], []
+    for f, batch in pipelined_inference(loader, dispatch):
+        n = batch.get("n_valid", len(batch["image"]))
+        feats.append(f.astype(np.float32)[:n])
+        labels.append(np.asarray(batch["label"])[:n])
+    np.savez(out_path, feature_list=np.concatenate(feats),
+             label_list=np.concatenate(labels))
+    return int(sum(len(l) for l in labels))

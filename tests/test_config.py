@@ -53,6 +53,22 @@ def test_freeze_blocks_attribute_writes():
     assert cfg.SEED == 3
 
 
+def test_freeze_blocks_merges_too(tmp_path):
+    """yacs raises on frozen merges; item writes via merge_from_list /
+    merge_from_file must not silently mutate a frozen config."""
+    cfg = get_cfg_default()
+    cfg.freeze()
+    with pytest.raises(AttributeError):
+        cfg.merge_from_list(["OPTIM.LR", "0.1"])
+    y = tmp_path / "o.yaml"
+    y.write_text("OPTIM:\n  LR: 0.5\n")
+    with pytest.raises(AttributeError):
+        cfg.merge_from_file(str(y))
+    cfg.defrost()
+    cfg.merge_from_list(["OPTIM.LR", "0.1"])
+    assert cfg.OPTIM.LR == 0.1
+
+
 def test_clone_is_deep():
     cfg = get_cfg_default()
     c2 = cfg.clone()

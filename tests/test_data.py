@@ -126,6 +126,35 @@ def test_elevater_multilabel_and_multitask(cfg, tmp_path):
     assert batch["task"].max() <= 1
 
 
+def test_imagenet_a_layout_and_dense_labels(cfg, tmp_path):
+    """ImageNet-A: images under imagenet-adversarial/imagenet-a/
+    (imagenet_a.py:23), labels enumerate the PRESENT folders densely
+    (imagenet_a.py:38) — 3 of 5 classnames.txt wnids present -> a
+    3-way problem, not sparse indices into the 1000-class table."""
+    from tests.util_fixtures import _write_image
+
+    from mvlpt_tpu.data.coop.datasets import ImageNetA
+
+    ddir = tmp_path / "imagenet-adversarial"
+    img_dir = ddir / "imagenet-a"
+    wnids = [f"n{i:08d}" for i in range(5)]
+    present = [wnids[1], wnids[3], wnids[4]]
+    for k, w in enumerate(present):
+        for i in range(2):
+            _write_image(str(img_dir / w / f"{w}_{i}.jpg"), seed=k * 10 + i)
+    (img_dir / wnids[1]).joinpath(".hidden.jpg").write_bytes(b"junk")
+    (ddir / "classnames.txt").write_text(
+        "".join(f"{w} class {j}\n" for j, w in enumerate(wnids)))
+
+    cfg.DATASET.NAME = "ImageNetA"
+    cfg.DATASET.COOP = True
+    ds = ImageNetA(cfg)
+    labels = sorted({d.label for d in ds.test})
+    assert labels == [0, 1, 2]          # dense over present folders
+    assert len(ds.test) == 6            # hidden file skipped
+    assert ds.classnames == ["class 1", "class 3", "class 4"]
+
+
 def test_fewshot_sampling_seeded():
     items = [Datum(impath=str(i), label=i % 3) for i in range(30)]
     a = DatasetBase.generate_fewshot_dataset(items, 2, seed=7)
