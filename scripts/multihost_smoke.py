@@ -22,10 +22,10 @@ def main():
     if rehearsal:
         # CI rehearsal: exercise this script's EXACT sequence single-
         # process (no jax.distributed, virtual CPU devices) so the
-        # script cannot rot while real multi-host hardware is
-        # unavailable (loopback TCP is blocked in this sandbox —
-        # parallel/multihost.py docstring). On a real pod, run one copy
-        # per host WITHOUT this env var.
+        # script cannot rot between real multi-process runs. The real
+        # thing also runs in CI now: tests/test_multihost_smoke.py
+        # launches two coordinator-connected processes over loopback.
+        # On a real pod, run one copy per host WITHOUT this env var.
         os.environ.setdefault(
             "XLA_FLAGS",
             "--xla_force_host_platform_device_count=8")
@@ -96,6 +96,29 @@ def main():
     assert np.allclose(gathered, loss), gathered  # same loss on every host
     print(f"[{pid}] OK loss={loss:.4f} (allgather agrees across "
           f"{n_proc} hosts)", flush=True)
+
+    # Phase 2: tensor parallelism across host boundaries. dp x tp=2
+    # shards the Megatron-layout backbone specs over devices owned by
+    # different processes, so the in-program collectives (MLP/attention
+    # psums) actually cross the process fabric.
+    n_dev = len(jax.devices())
+    if n_dev >= 4 and n_dev % 2 == 0:
+        state2 = init_train_state(prompt_params, tx)
+        mesh2 = create_mesh(n_data=n_dev // 2, n_model=2)
+        with mesh2:
+            bb2 = put_tree_on_mesh(
+                backbone, backbone_partition_specs(backbone), mesh2)
+            batch2 = global_batch_arrays(local, batch_specs(local), mesh2,
+                                         global_batch)
+            _, metrics2 = step(state2, bb2, consts, batch2,
+                               jax.random.PRNGKey(0))
+        loss2 = float(metrics2["loss"])
+        assert np.isfinite(loss2), loss2
+        assert abs(loss2 - loss) < 1e-4, (loss, loss2)  # same math, tp=2
+        g2 = allgather_tree(np.array([loss2], np.float32))
+        assert np.allclose(g2, loss2), g2
+        print(f"[{pid}] OK tp=2 loss={loss2:.4f} "
+              f"(dp={n_dev // 2} x tp=2 across {n_proc} hosts)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,9 +1,9 @@
-"""Multi-host data-path tests (documented simulation).
+"""Multi-host data-path tests (single-process composition).
 
-Real 2-process ``jax.distributed`` cannot run here: the sandbox blocks
-loopback TCP, so the coordination service cannot bind. Instead these
-tests verify the pieces whose composition is the multi-host contract
-(parallel/multihost.py docstring):
+These tests verify the pieces whose composition is the multi-host
+contract (parallel/multihost.py docstring) — the REAL 2-process
+``jax.distributed`` run lives in tests/test_multihost_smoke.py, which
+launches two coordinator-connected CPU processes over loopback:
 
   1. the per-host loader shard (``DataLoader(host_shard=...)``) —
      concatenating every host's rows reproduces the single-host batch
@@ -258,8 +258,9 @@ def test_stage_window_shardings(monkeypatch):
 
     # multi-process: the global window must be assembled with
     # make_array_from_process_local_data and a (K, B*n_proc) global
-    # shape (the real call needs >1 process — loopback TCP is blocked
-    # here — so record the arguments instead)
+    # shape (the real call needs >1 process in THIS process, so record
+    # the arguments instead; the true 2-process path runs in
+    # tests/test_multihost_smoke.py)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     calls = []
 
