@@ -199,30 +199,20 @@ def select_attn_fn(use_pallas: str | bool = "auto",
     20.6 ms/step on the flagship UPT config (v5e), so 'auto' selects
     them on a single TPU device.
 
-    ``mesh``: the trainer's device mesh (or None single-device). On a
-    pure data-parallel mesh (model axis == 1) the kernels run wrapped
-    in ``shard_map`` over the "data" axis (the batch-axis grid is
-    embarrassingly data-parallel; ops/block.py:
-    fused_residual_block_sharded). Tensor-parallel meshes keep the XLA
-    path: the kernels do not declare a model-axis partitioning of the
-    weight operands. 'on' forces the standalone fused-attention kernel
+    ``mesh``: the trainer's device mesh (or None single-device). Under a
+    multi-device mesh the kernels run wrapped in ``shard_map``
+    (ops/block.py:fused_residual_block_sharded): data-parallel meshes
+    map the batch-axis grid over "data" with replicated weights;
+    tensor-parallel meshes (model axis > 1) run the Megatron-sharded
+    variants (attn_block_tp / mlp_block_tp — H/tp heads resp. 4W/tp
+    hidden units per device, fp32 partials psummed over "model"). Head
+    counts that don't divide tp fall back to the XLA block inside the
+    sharded wrapper. 'on' forces the standalone fused-attention kernel
     (wins fwd only; kept for inference-heavy regimes)."""
-
-    def _tp_size(m) -> int:
-        if m is None:
-            return 1
-        return dict(zip(m.axis_names, m.devices.shape)).get("model", 1)
-
     if use_pallas == "block":
         from mvlpt_tpu.ops import block as block_ops
 
         if mesh is not None and mesh.devices.size > 1:
-            if _tp_size(mesh) > 1:
-                print("TPU.USE_PALLAS='block': tensor-parallel mesh "
-                      "(model axis > 1) keeps the XLA attention path — "
-                      "the fused kernels only declare data-axis "
-                      "partitioning")
-                return None
             return block_ops._FusedMarker(auto_selected=False, mesh=mesh)
         return block_ops.FUSED
     if use_pallas in (True, "on", "1"):
@@ -235,8 +225,6 @@ def select_attn_fn(use_pallas: str | bool = "auto",
         if not block_ops.available():
             return None
         if mesh is not None and mesh.devices.size > 1:
-            if _tp_size(mesh) > 1:
-                return None
             return block_ops._FusedMarker(auto_selected=True, mesh=mesh)
         try:
             single = len(jax.devices()) == 1

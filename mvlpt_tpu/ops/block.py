@@ -124,7 +124,14 @@ def _full(*shape):
 
 def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
                      wout_ref, bout_ref, *rest,
-                     n_heads, eps, g_imgs, has_mask):
+                     n_heads, head_dim, eps, g_imgs, has_mask,
+                     part=False):
+    """``n_heads`` is the LOCAL head count of this kernel's weight
+    shard: the full count single-device, H/tp under tensor parallelism
+    (attn_block_tp), where w3/bqkv/wout carry only this device's head
+    slabs. ``part=True`` emits the fp32 partial out-projection product
+    (no bias, no residual) — the caller psums over the model axis and
+    finishes the block outside the kernel."""
     if has_mask:
         mask_ref = rest[0]
         rest = rest[1:]
@@ -135,9 +142,9 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
     bout32 = bout_ref[...].astype(jnp.float32)
     for gi in range(g_imgs):
         x = x_ref[gi]                                  # (S, W)
-        s, w = x.shape
         h_n = n_heads
-        d = w // h_n
+        d = head_dim
+        wl = h_n * d            # local head-width (== W single-device)
         dtype = x.dtype
         scale = d ** -0.5
 
@@ -146,8 +153,8 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
         rstd_ref[gi] = rstd
         xh = xh32.astype(dtype)
 
-        # ONE full-width projection, transposed: (3W, W) @ (S, W)^T ->
-        # (3W, S). Heads then live on the SUBLANE axis (64-row slabs),
+        # ONE full-width projection, transposed: (3Wl, W) @ (S, W)^T ->
+        # (3Wl, S). Heads then live on the SUBLANE axis (64-row slabs),
         # which Mosaic slices freely — lane-axis head splits don't lower.
         qkvt = (_dot(w3_ref[...], xh, ((1,), (1,))) + bqkv32).astype(dtype)
         qkvt_ref[gi] = qkvt
@@ -157,7 +164,7 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
         for h in range(h_n):
             qt = (qkvt[h * d:(h + 1) * d].astype(jnp.float32)
                   * scale).astype(dtype)               # (D, S)
-            kt = qkvt[w + h * d:w + (h + 1) * d]
+            kt = qkvt[wl + h * d:wl + (h + 1) * d]
             sc_scr[h] = _dot(qt, kt, ((0,), (0,)))      # (S, S) f32
         # One batched fp32 softmax over every head (long VPU run)
         logits = sc_scr[...]
@@ -167,38 +174,48 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
         p_ref[gi] = p_all
         # MXU loop 2: o^T = v^T @ p^T per head
         for h in range(h_n):
-            vt = qkvt[2 * w + h * d:2 * w + (h + 1) * d]
+            vt = qkvt[2 * wl + h * d:2 * wl + (h + 1) * d]
             ot_scr[h * d:(h + 1) * d, :] = _dot(
                 vt, p_all[h], ((1,), (1,))).astype(dtype)
         # out-proj in ONE dot
         y = _dot(ot_scr[...], wout_ref[...], ((0,), (0,))) + bout32
-        y_ref[gi] = x + y.astype(dtype)
+        if part:
+            y_ref[gi] = y                              # fp32 partial
+        else:
+            y_ref[gi] = x + y.astype(dtype)
 
 
-def _attn_bwd_kernel(x_ref, mu_ref, rstd_ref, qkvt_ref, p_ref,
-                     lns_ref, w3_ref, wout_ref, g_ref,
-                     dx_ref, dqkvt_scr, dp_scr, *, n_heads, eps, g_imgs):
-    lns32 = lns_ref[...].astype(jnp.float32)
+def _attn_bwd_kernel(*refs, n_heads, head_dim, eps, g_imgs, part=False):
+    """``part=True`` is the tensor-parallel variant: the refs carry only
+    this device's head shard (no x/mu/rstd/lns — LayerNorm backward
+    needs the psummed full dxh, so it runs OUTSIDE, after the model-axis
+    reduction) and the output is the fp32 partial dxh."""
+    if part:
+        (qkvt_ref, p_ref, w3_ref, wout_ref, g_ref,
+         dx_ref, dqkvt_scr, dp_scr) = refs
+    else:
+        (x_ref, mu_ref, rstd_ref, qkvt_ref, p_ref, lns_ref, w3_ref,
+         wout_ref, g_ref, dx_ref, dqkvt_scr, dp_scr) = refs
+        lns32 = lns_ref[...].astype(jnp.float32)
     for gi in range(g_imgs):
         gy = g_ref[gi]                                 # (S, W) cotangent
-        x = x_ref[gi]
-        s, w = x.shape
         h_n = n_heads
-        d = w // h_n
-        dtype = x.dtype
+        d = head_dim
+        wl = h_n * d
+        dtype = gy.dtype
         scale = d ** -0.5
 
-        qkvt = qkvt_ref[gi]                            # (3W, S)
+        qkvt = qkvt_ref[gi]                            # (3Wl, S)
         # do^T = Wout @ gy^T : one full dot
         do_t = _dot(wout_ref[...], gy, ((1,), (1,))).astype(dtype)
 
         # MXU loop 1: dv^T and dp for every head
         for h in range(h_n):
-            vt = qkvt[2 * w + h * d:2 * w + (h + 1) * d]
+            vt = qkvt[2 * wl + h * d:2 * wl + (h + 1) * d]
             p = p_ref[gi, h]                           # (S, S)
             doh = do_t[h * d:(h + 1) * d]              # (D, S)
             # dv = p^T @ do -> dv^T = do^T @ p
-            dqkvt_scr[2 * w + h * d:2 * w + (h + 1) * d, :] = _dot(
+            dqkvt_scr[2 * wl + h * d:2 * wl + (h + 1) * d, :] = _dot(
                 doh, p, ((1,), (0,))).astype(dtype)
             # dp[q, k] = sum_d do[q,d] v[k,d]
             dp_scr[h] = _dot(doh, vt, ((0,), (0,)))    # (S, S) f32
@@ -210,17 +227,21 @@ def _attn_bwd_kernel(x_ref, mu_ref, rstd_ref, qkvt_ref, p_ref,
         # MXU loop 2: dq^T / dk^T per head
         for h in range(h_n):
             qt = qkvt[h * d:(h + 1) * d]
-            kt = qkvt[w + h * d:w + (h + 1) * d]
+            kt = qkvt[wl + h * d:wl + (h + 1) * d]
             ds = ds_all[h]
             dqkvt_scr[h * d:(h + 1) * d, :] = _dot(
                 kt, ds, ((1,), (1,))).astype(dtype)
-            dqkvt_scr[w + h * d:w + (h + 1) * d, :] = _dot(
+            dqkvt_scr[wl + h * d:wl + (h + 1) * d, :] = _dot(
                 qt, ds, ((1,), (0,))).astype(dtype)
 
         # dxh = dqkv @ Wqkv^T -> (S, W), one full dot
         dxh = _dot(dqkvt_scr[...], w3_ref[...], ((0,), (0,)))
 
+        if part:
+            dx_ref[gi] = dxh                           # fp32 partial
+            continue
         # LayerNorm backward (scale/bias frozen — input cotangent only)
+        x = x_ref[gi]
         x32 = x.astype(jnp.float32)
         mu = mu_ref[gi]
         rstd = rstd_ref[gi]
@@ -295,7 +316,8 @@ def _attn_fwd(x, ln_p, attn_p, mask, n_heads, eps):
         in_specs.append(_full(s, s))
         args.append(mask.astype(jnp.float32))
     y, qkvt, probs, mu, rstd = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, n_heads=n_heads, eps=eps,
+        functools.partial(_attn_fwd_kernel, n_heads=n_heads,
+                          head_dim=w // n_heads, eps=eps,
                           g_imgs=g, has_mask=has_mask),
         grid=(b // g,),
         in_specs=in_specs,
@@ -331,8 +353,8 @@ def _attn_bwd(n_heads, eps, res, gy):
     row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     dx = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, n_heads=n_heads, eps=eps,
-                          g_imgs=g),
+        functools.partial(_attn_bwd_kernel, n_heads=n_heads,
+                          head_dim=w // n_heads, eps=eps, g_imgs=g),
         grid=(b // g,),
         in_specs=[_row3(g, s, w), row2, row2,
                   pl.BlockSpec((g, 3 * w, s), lambda i: (i, 0, 0),
@@ -364,7 +386,11 @@ attn_block.defvjp(_attn_fwd, _attn_bwd)
 
 def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
                     wproj_ref, bproj_ref,
-                    y_ref, hpre_ref, mu_ref, rstd_ref, *, eps, g_imgs):
+                    y_ref, hpre_ref, mu_ref, rstd_ref, *, eps, g_imgs,
+                    part=False):
+    """``part=True``: wfc/bfc/wproj carry only this device's hidden-unit
+    shard (4W/tp columns / rows); the fp32 partial down-projection is
+    emitted without bias or residual for a model-axis psum outside."""
     lns32 = lns_ref[...].astype(jnp.float32)
     lnb32 = lnb_ref[...].astype(jnp.float32)
     bfc32 = bfc_ref[...].astype(jnp.float32)
@@ -387,22 +413,34 @@ def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
         h32r = hpre.astype(jnp.float32)
         a = (h32r * jax.nn.sigmoid(1.702 * h32r)).astype(dtype)
         y = _dot(a, wproj_ref[...], ((1,), (0,))) + bproj32
-        y_ref[gi] = x + y.astype(dtype)
+        if part:
+            y_ref[gi] = y                              # fp32 partial
+        else:
+            y_ref[gi] = x + y.astype(dtype)
 
 
-def _mlp_bwd_kernel(x_ref, mu_ref, rstd_ref, hpre_ref,
-                    lns_ref, wfc_ref, wproj_ref, g_ref,
-                    dx_ref, *, eps, g_imgs):
-    lns32 = lns_ref[...].astype(jnp.float32)
+def _mlp_bwd_kernel(*refs, eps, g_imgs, part=False):
+    """``part=True`` is the tensor-parallel variant: refs carry only the
+    hidden-shard residuals/weights (no x/mu/rstd/lns — LN backward runs
+    outside, on the psummed dxh) and the output is the fp32 partial dxh."""
+    if part:
+        hpre_ref, wfc_ref, wproj_ref, g_ref, dx_ref = refs
+    else:
+        (x_ref, mu_ref, rstd_ref, hpre_ref, lns_ref, wfc_ref, wproj_ref,
+         g_ref, dx_ref) = refs
+        lns32 = lns_ref[...].astype(jnp.float32)
     for gi in range(g_imgs):
         gy = g_ref[gi]
-        x = x_ref[gi]
-        dtype = x.dtype
+        dtype = gy.dtype
         h32 = hpre_ref[gi].astype(jnp.float32)
-        da = _dot(gy, wproj_ref[...], ((1,), (1,)))    # (S, 4W) f32
+        da = _dot(gy, wproj_ref[...], ((1,), (1,)))    # (S, 4Wl) f32
         sig = jax.nn.sigmoid(1.702 * h32)
         dh = (da * (sig + 1.702 * h32 * sig * (1.0 - sig))).astype(dtype)
         dxh = _dot(dh, wfc_ref[...], ((1,), (1,)))     # (S, W) f32
+        if part:
+            dx_ref[gi] = dxh                           # fp32 partial
+            continue
+        x = x_ref[gi]
         x32 = x.astype(jnp.float32)
         mu = mu_ref[gi]
         rstd = rstd_ref[gi]
@@ -490,30 +528,51 @@ def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
     """The fused block under a multi-device mesh.
 
     ``pallas_call`` is opaque to GSPMD, so the kernels must declare
-    their own partitioning: the grid is one program per image (batch
-    axis), i.e. embarrassingly data-parallel — ``shard_map`` over the
-    mesh's "data" axis with replicated weights runs the SAME per-shard
-    kernel on each device's local batch rows, and autodiff maps the
-    hand-derived VJP kernels the same way. Rows that do not divide the
-    data axis (e.g. a replicated text tower whose row-blocks aren't a
-    multiple of dp) are zero-padded up to it and sliced back after: the
-    batch axis stays mapped, which keeps the AD transpose exact. (A
-    replicated P() fallback would be wrong under differentiation:
-    check_rep=False shard_map transposes an unmapped input with an
-    unconditional psum, so every device's full-batch dx would be summed
-    — x's cotangent scaled by the mesh size.) Tensor-parallel meshes
-    keep the XLA path (select_attn_fn returns None when model axis > 1)."""
+    their own partitioning. Two regimes:
+
+    * **Data-parallel** (model axis == 1): the grid is one program per
+      image (batch axis), i.e. embarrassingly data-parallel —
+      ``shard_map`` over the mesh's "data" axis with replicated weights
+      runs the SAME per-shard kernel on each device's local batch rows,
+      and autodiff maps the hand-derived VJP kernels the same way. Rows
+      that do not divide the data axis (e.g. a replicated text tower
+      whose row-blocks aren't a multiple of dp) are zero-padded up to
+      it and sliced back after: the batch axis stays mapped, which
+      keeps the AD transpose exact. (A replicated P() fallback would be
+      wrong under differentiation: check_rep=False shard_map transposes
+      an unmapped input with an unconditional psum, so every device's
+      full-batch dx would be summed — x's cotangent scaled by the mesh
+      size.)
+    * **Tensor-parallel** (model axis > 1): Megatron-sharded kernels
+      (attn_block_tp / mlp_block_tp) — each device's kernel runs its
+      H/tp heads (resp. 4W/tp hidden units) and emits an fp32 partial,
+      psummed over "model" with bias+residual applied after. Head
+      counts or hidden widths that don't divide tp fall back to the
+      XLA block (GSPMD shards it from the declared weight specs)."""
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     n_data = axes.get("data", 1)
+    tp = axes.get("model", 1)
     n_rows = x.shape[0]
     pad = (-n_rows) % n_data
     if pad:
         x = jnp.concatenate(
             [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
     xspec = P("data") if n_data > 1 else P()
+
+    if tp > 1:
+        w4 = p["mlp"]["fc_w"].shape[-1]
+        if n_heads % tp or w4 % tp:
+            from mvlpt_tpu.core.layers import residual_block as _xla_block
+
+            out = _xla_block(x, p, n_heads, mask)
+        else:
+            out = attn_block_tp(x, p["ln_1"], p["attn"], mask,
+                                n_heads, mesh)
+            out = mlp_block_tp(out, p["ln_2"], p["mlp"], mesh)
+        return out[:n_rows] if pad else out
 
     if mask is None:
         fn = shard_map(
@@ -528,6 +587,293 @@ def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
             check_rep=False)
         out = fn(x, p, mask)
     return out[:n_rows] if pad else out
+
+
+# ------------------------------------------------- tensor-parallel blocks
+#
+# Megatron sharding for the fused kernels (the reference has no TP at
+# all — its only parallelism is single-process nn.DataParallel,
+# mvlpt.py:877). Per half-block: every model-axis device runs the SAME
+# fused kernel on its shard of the weights — H/tp complete heads
+# (attention) or 4W/tp hidden units (MLP) — emitting an fp32 partial
+# output (kernels' part=True), which a single lax.psum over "model"
+# reduces before bias + residual are applied. The custom-VJP boundary
+# sits OUTSIDE the shard_map: fwd and bwd are each a primal shard_map
+# program (kernel + psum), so no AD ever differentiates through
+# shard_map and the transpose semantics stay hand-controlled. LayerNorm
+# backward needs the FULL (psummed) dxh, so it runs after the
+# reduction, outside the kernel, in plain XLA.
+
+
+def _tp_size(mesh) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+
+
+def _dspec(mesh):
+    from jax.sharding import PartitionSpec as P
+
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+    return P("data") if n_data > 1 else P()
+
+
+def _ln_bwd(x, mu, rstd, ln_scale, dxh32, gy):
+    """LayerNorm input-cotangent (scale/bias frozen) + residual, batched
+    over (B, S, W) in fp32 — the out-of-kernel tail of the TP backward."""
+    x32 = x.astype(jnp.float32)
+    xn = (x32 - mu) * rstd
+    dxh_s = dxh32 * ln_scale.astype(jnp.float32)
+    m1 = jnp.mean(dxh_s, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh_s * xn, axis=-1, keepdims=True)
+    dx = rstd * (dxh_s - m1 - xn * m2)
+    return gy + dx.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def attn_block_tp(x, ln_p, attn_p, mask, n_heads, mesh):
+    """y = x + OutProj(MHA(LN(x))) with heads Megatron-sharded over the
+    mesh's "model" axis; batch rows sharded over "data"."""
+    return _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh)[0]
+
+
+def _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, s, w = x.shape
+    tp = _tp_size(mesh)
+    d = w // n_heads
+    h_loc = n_heads // tp
+    wl = h_loc * d
+    has_mask = mask is not None
+    ds = _dspec(mesh)
+    dname = ds[0] if len(ds) else None
+
+    # (3W, W) rows ordered (3, H, D): split into per-section (W, W)
+    # arrays so P("model", None) hands each device its heads' complete
+    # q/k/v slabs (a contiguous shard of 3W would cross the q|k|v
+    # boundaries).
+    w3, b3 = _head_major(attn_p, n_heads)
+    wq, wk, wv = w3[:w], w3[w:2 * w], w3[2 * w:]
+    bq, bk, bv = b3[:w], b3[w:2 * w], b3[2 * w:]
+
+    def local(x_l, lns, lnb, wq_l, wk_l, wv_l, bq_l, bk_l, bv_l,
+              wout_l, out_b, *maybe_mask):
+        w3_l = jnp.concatenate([wq_l, wk_l, wv_l], axis=0)   # (3Wl, W)
+        b3_l = jnp.concatenate([bq_l, bk_l, bv_l], axis=0)   # (3Wl, 1)
+        b_l = x_l.shape[0]
+        g = _pick_g(b_l)
+        row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        in_specs = [_row3(g, s, w), _full(w), _full(w),
+                    _full(3 * wl, w), _full(3 * wl, 1), _full(wl, w),
+                    _full(w)]
+        args = [x_l, lns, lnb, w3_l, b3_l, wout_l,
+                jnp.zeros_like(out_b)]  # bias applied after the psum
+        if has_mask:
+            in_specs.append(_full(s, s))
+            args.append(maybe_mask[0].astype(jnp.float32))
+        ypart, qkvt, probs, mu, rstd = pl.pallas_call(
+            functools.partial(_attn_fwd_kernel, n_heads=h_loc, head_dim=d,
+                              eps=_EPS, g_imgs=g, has_mask=has_mask,
+                              part=True),
+            grid=(b_l // g,),
+            in_specs=in_specs,
+            out_specs=(_row3(g, s, w),
+                       pl.BlockSpec((g, 3 * wl, s), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((g, h_loc, s, s),
+                                    lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM),
+                       row2, row2),
+            out_shape=(
+                jax.ShapeDtypeStruct((b_l, s, w), jnp.float32),  # partial
+                jax.ShapeDtypeStruct((b_l, 3 * wl, s), x_l.dtype),
+                jax.ShapeDtypeStruct((b_l, h_loc, s, s), x_l.dtype),
+                jax.ShapeDtypeStruct((b_l, s, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b_l, s, 1), jnp.float32),
+            ),
+            scratch_shapes=([pltpu.VMEM((wl, s), x_l.dtype),
+                             pltpu.VMEM((h_loc, s, s), jnp.float32)]
+                            if _HAS_PLTPU else []),
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+            interpret=_interpret(),
+        )(*args)
+        y32 = jax.lax.psum(ypart, "model") + out_b.astype(jnp.float32)
+        y = x_l + y32.astype(x_l.dtype)
+        return y, qkvt, probs, mu, rstd
+
+    in_specs = [ds, P(), P(), P("model", None), P("model", None),
+                P("model", None), P("model", None), P("model", None),
+                P("model", None), P("model", None), P()]
+    args = [x, ln_p["scale"], ln_p["bias"], wq, wk, wv, bq, bk, bv,
+            attn_p["out_w"], attn_p["out_b"]]
+    if has_mask:
+        in_specs.append(P())
+        args.append(mask)
+    y, qkvt, probs, mu, rstd = shard_map(
+        local, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=(ds, P(dname, "model", None),
+                   P(dname, "model", None, None), ds, ds),
+        check_rep=False)(*args)
+    return y, (x, ln_p, attn_p, qkvt, probs, mu, rstd)
+
+
+def _attn_tp_bwd(n_heads, mesh, res, gy):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x, ln_p, attn_p, qkvt, probs, mu, rstd = res
+    b, s, w = x.shape
+    tp = _tp_size(mesh)
+    d = w // n_heads
+    h_loc = n_heads // tp
+    wl = h_loc * d
+    ds = _dspec(mesh)
+    dname = ds[0] if len(ds) else None
+    w3, _ = _head_major(attn_p, n_heads)
+    wq, wk, wv = w3[:w], w3[w:2 * w], w3[2 * w:]
+    gy_c = gy.astype(x.dtype)
+
+    def local(qkvt_l, p_l, wq_l, wk_l, wv_l, wout_l, gy_l):
+        w3_l = jnp.concatenate([wq_l, wk_l, wv_l], axis=0)
+        b_l = gy_l.shape[0]
+        g = _pick_g(b_l)
+        dxh_part = pl.pallas_call(
+            functools.partial(_attn_bwd_kernel, n_heads=h_loc, head_dim=d,
+                              eps=_EPS, g_imgs=g, part=True),
+            grid=(b_l // g,),
+            in_specs=[pl.BlockSpec((g, 3 * wl, s), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((g, h_loc, s, s), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      _full(3 * wl, w), _full(wl, w), _row3(g, s, w)],
+            out_specs=_row3(g, s, w),
+            out_shape=jax.ShapeDtypeStruct((b_l, s, w), jnp.float32),
+            scratch_shapes=([pltpu.VMEM((3 * wl, s), gy_l.dtype),
+                             pltpu.VMEM((h_loc, s, s), jnp.float32)]
+                            if _HAS_PLTPU else []),
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+            interpret=_interpret(),
+        )(qkvt_l, p_l, w3_l, wout_l, gy_l)
+        return jax.lax.psum(dxh_part, "model")
+
+    dxh = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dname, "model", None), P(dname, "model", None, None),
+                  P("model", None), P("model", None), P("model", None),
+                  P("model", None), ds),
+        out_specs=ds, check_rep=False,
+    )(qkvt, probs, wq, wk, wv, attn_p["out_w"], gy_c)
+    dx = _ln_bwd(x, mu, rstd, ln_p["scale"], dxh, gy_c)
+    zl = jax.tree_util.tree_map(jnp.zeros_like, ln_p)
+    za = jax.tree_util.tree_map(jnp.zeros_like, attn_p)
+    return dx, zl, za, None
+
+
+attn_block_tp.defvjp(_attn_tp_fwd, _attn_tp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def mlp_block_tp(x, ln_p, mlp_p, mesh):
+    """y = x + Proj(QuickGELU(FC(LN(x)))) with the 4W hidden dimension
+    Megatron-sharded over the mesh's "model" axis."""
+    return _mlp_tp_fwd(x, ln_p, mlp_p, mesh)[0]
+
+
+def _mlp_tp_fwd(x, ln_p, mlp_p, mesh):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, s, w = x.shape
+    w4 = mlp_p["fc_w"].shape[1]
+    tp = _tp_size(mesh)
+    w4l = w4 // tp
+    ds = _dspec(mesh)
+    dname = ds[0] if len(ds) else None
+
+    def local(x_l, lns, lnb, wfc_l, bfc_l, wproj_l, proj_b):
+        b_l = x_l.shape[0]
+        g = _pick_g(b_l)
+        row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+        ypart, hpre, mu, rstd = pl.pallas_call(
+            functools.partial(_mlp_fwd_kernel, eps=_EPS, g_imgs=g,
+                              part=True),
+            grid=(b_l // g,),
+            in_specs=[_row3(g, s, w), _full(w), _full(w),
+                      _full(w, w4l), _full(w4l), _full(w4l, w), _full(w)],
+            out_specs=(_row3(g, s, w), _row3(g, s, w4l), row2, row2),
+            out_shape=(
+                jax.ShapeDtypeStruct((b_l, s, w), jnp.float32),  # partial
+                jax.ShapeDtypeStruct((b_l, s, w4l), x_l.dtype),
+                jax.ShapeDtypeStruct((b_l, s, 1), jnp.float32),
+                jax.ShapeDtypeStruct((b_l, s, 1), jnp.float32),
+            ),
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+            interpret=_interpret(),
+        )(x_l, lns, lnb, wfc_l, bfc_l, wproj_l,
+          jnp.zeros_like(proj_b))  # bias applied after the psum
+        y32 = jax.lax.psum(ypart, "model") + proj_b.astype(jnp.float32)
+        y = x_l + y32.astype(x_l.dtype)
+        return y, hpre, mu, rstd
+
+    y, hpre, mu, rstd = shard_map(
+        local, mesh=mesh,
+        in_specs=(ds, P(), P(), P(None, "model"), P("model"),
+                  P("model", None), P()),
+        out_specs=(ds, P(dname, None, "model"), ds, ds),
+        check_rep=False,
+    )(x, ln_p["scale"], ln_p["bias"], mlp_p["fc_w"], mlp_p["fc_b"],
+      mlp_p["proj_w"], mlp_p["proj_b"])
+    return y, (x, ln_p, mlp_p, hpre, mu, rstd)
+
+
+def _mlp_tp_bwd(mesh, res, gy):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x, ln_p, mlp_p, hpre, mu, rstd = res
+    b, s, w = x.shape
+    w4 = mlp_p["fc_w"].shape[1]
+    tp = _tp_size(mesh)
+    w4l = w4 // tp
+    ds = _dspec(mesh)
+    dname = ds[0] if len(ds) else None
+    gy_c = gy.astype(x.dtype)
+
+    def local(hpre_l, wfc_l, wproj_l, gy_l):
+        b_l = gy_l.shape[0]
+        g = _pick_g(b_l)
+        dxh_part = pl.pallas_call(
+            functools.partial(_mlp_bwd_kernel, eps=_EPS, g_imgs=g,
+                              part=True),
+            grid=(b_l // g,),
+            in_specs=[_row3(g, s, w4l), _full(w, w4l), _full(w4l, w),
+                      _row3(g, s, w)],
+            out_specs=_row3(g, s, w),
+            out_shape=jax.ShapeDtypeStruct((b_l, s, w), jnp.float32),
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+            interpret=_interpret(),
+        )(hpre_l, wfc_l, wproj_l, gy_l)
+        return jax.lax.psum(dxh_part, "model")
+
+    dxh = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(dname, None, "model"), P(None, "model"),
+                  P("model", None), ds),
+        out_specs=ds, check_rep=False,
+    )(hpre, mlp_p["fc_w"], mlp_p["proj_w"], gy_c)
+    dx = _ln_bwd(x, mu, rstd, ln_p["scale"], dxh, gy_c)
+    zl = jax.tree_util.tree_map(jnp.zeros_like, ln_p)
+    zm = jax.tree_util.tree_map(jnp.zeros_like, mlp_p)
+    return dx, zl, zm
+
+
+mlp_block_tp.defvjp(_mlp_tp_fwd, _mlp_tp_bwd)
 
 
 from mvlpt_tpu.ops._runtime import available  # noqa: E402,F401

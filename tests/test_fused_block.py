@@ -220,11 +220,13 @@ class TestShardedFusedBlock:
         marker = select_attn_fn("block", mesh=mesh)
         assert getattr(marker, "fused_block", False)
         assert marker.mesh is mesh
-        # TP mesh keeps the XLA path (kernels declare no model-axis
-        # partitioning)
+        # TP meshes route to the Megatron-sharded kernel variants now
+        # (round 3; tests/test_tp_kernels.py) — forced 'block' keeps the
+        # sharded marker instead of downgrading to the XLA path.
         tp_mesh = self._mesh(4, 2)
-        assert select_attn_fn("block", mesh=tp_mesh) is None
-        assert select_attn_fn("auto", mesh=tp_mesh) is None
+        tp_marker = select_attn_fn("block", mesh=tp_mesh)
+        assert getattr(tp_marker, "fused_block", False)
+        assert tp_marker.mesh is tp_mesh
 
     def test_full_train_step_on_mesh_with_sharded_kernels(self):
         """End-to-end: jitted windowed train step over a dp=4 mesh with
