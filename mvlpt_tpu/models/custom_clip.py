@@ -76,10 +76,15 @@ class MVLPTModel:
         from mvlpt_tpu.ops.block import prepare_blocks
 
         fused = bool(getattr(self.attn_fn, "fused_block", False))
+        tp = 1
+        mesh = getattr(self.attn_fn, "mesh", None)
+        if fused and mesh is not None:
+            tp = dict(zip(mesh.axis_names,
+                          mesh.devices.shape)).get("model", 1)
         out = dict(backbone)
         for tower in ("visual", "text"):
             t = dict(out[tower])
-            t["blocks"] = prepare_blocks(t["blocks"], fused=fused)
+            t["blocks"] = prepare_blocks(t["blocks"], fused=fused, tp=tp)
             out[tower] = t
         return out
 

@@ -207,8 +207,17 @@ def select_attn_fn(use_pallas: str | bool = "auto",
     variants (attn_block_tp / mlp_block_tp — H/tp heads resp. 4W/tp
     hidden units per device, fp32 partials psummed over "model"). Head
     counts that don't divide tp fall back to the XLA block inside the
-    sharded wrapper. 'on' forces the standalone fused-attention kernel
-    (wins fwd only; kept for inference-heavy regimes)."""
+    sharded wrapper. 'auto' keeps the XLA path on TP meshes for now —
+    the TP kernels are parity-validated but have no measured throughput
+    win (this environment has one chip; BASELINE.md); forcing 'block'
+    opts in. 'on' forces the standalone fused-attention kernel (wins
+    fwd only; kept for inference-heavy regimes)."""
+
+    def _tp_size(m) -> int:
+        if m is None:
+            return 1
+        return dict(zip(m.axis_names, m.devices.shape)).get("model", 1)
+
     if use_pallas == "block":
         from mvlpt_tpu.ops import block as block_ops
 
@@ -225,6 +234,11 @@ def select_attn_fn(use_pallas: str | bool = "auto",
         if not block_ops.available():
             return None
         if mesh is not None and mesh.devices.size > 1:
+            if _tp_size(mesh) > 1:
+                # Measured-wins-only convention: dp sharding showed no
+                # regression on hardware (BASELINE.md mesh datapoint);
+                # the TP variants await a multi-chip measurement.
+                return None
             return block_ops._FusedMarker(auto_selected=True, mesh=mesh)
         try:
             single = len(jax.devices()) == 1

@@ -105,6 +105,17 @@ def _ln2d(x32, scale32, bias32, eps):
     return xh, mu, rstd
 
 
+def _ln2d_in_cot(x32, mu, rstd, lns32, dxh32):
+    """LayerNorm input cotangent (scale/bias frozen), fp32. The single
+    definition shared by the in-kernel backwards and the out-of-kernel
+    TP tail (_ln_bwd) — plain jnp ops, so it traces in both contexts."""
+    xn = (x32 - mu) * rstd
+    dxh_s = dxh32 * lns32
+    m1 = jnp.mean(dxh_s, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh_s * xn, axis=-1, keepdims=True)
+    return rstd * (dxh_s - m1 - xn * m2)
+
+
 def _dot(a, b, dims):
     return jax.lax.dot_general(a, b, (dims, ((), ())),
                                preferred_element_type=jnp.float32)
@@ -123,15 +134,18 @@ def _full(*shape):
 # --------------------------------------------------------------- attn block
 
 def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
-                     wout_ref, bout_ref, *rest,
+                     wout_ref, *rest,
                      n_heads, head_dim, eps, g_imgs, has_mask,
                      part=False):
     """``n_heads`` is the LOCAL head count of this kernel's weight
     shard: the full count single-device, H/tp under tensor parallelism
     (attn_block_tp), where w3/bqkv/wout carry only this device's head
     slabs. ``part=True`` emits the fp32 partial out-projection product
-    (no bias, no residual) — the caller psums over the model axis and
-    finishes the block outside the kernel."""
+    (no out-proj bias — and no bias ref at all — and no residual): the
+    caller psums over the model axis and finishes the block outside."""
+    if not part:
+        bout_ref = rest[0]
+        rest = rest[1:]
     if has_mask:
         mask_ref = rest[0]
         rest = rest[1:]
@@ -139,7 +153,7 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
     lns32 = lns_ref[...].astype(jnp.float32)
     lnb32 = lnb_ref[...].astype(jnp.float32)
     bqkv32 = bqkv_ref[...].astype(jnp.float32)
-    bout32 = bout_ref[...].astype(jnp.float32)
+    bout32 = None if part else bout_ref[...].astype(jnp.float32)
     for gi in range(g_imgs):
         x = x_ref[gi]                                  # (S, W)
         h_n = n_heads
@@ -178,11 +192,11 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
             ot_scr[h * d:(h + 1) * d, :] = _dot(
                 vt, p_all[h], ((1,), (1,))).astype(dtype)
         # out-proj in ONE dot
-        y = _dot(ot_scr[...], wout_ref[...], ((0,), (0,))) + bout32
+        y = _dot(ot_scr[...], wout_ref[...], ((0,), (0,)))
         if part:
             y_ref[gi] = y                              # fp32 partial
         else:
-            y_ref[gi] = x + y.astype(dtype)
+            y_ref[gi] = x + (y + bout32).astype(dtype)
 
 
 def _attn_bwd_kernel(*refs, n_heads, head_dim, eps, g_imgs, part=False):
@@ -241,15 +255,8 @@ def _attn_bwd_kernel(*refs, n_heads, head_dim, eps, g_imgs, part=False):
             dx_ref[gi] = dxh                           # fp32 partial
             continue
         # LayerNorm backward (scale/bias frozen — input cotangent only)
-        x = x_ref[gi]
-        x32 = x.astype(jnp.float32)
-        mu = mu_ref[gi]
-        rstd = rstd_ref[gi]
-        xn = (x32 - mu) * rstd
-        dxh_s = dxh * lns32
-        m1 = jnp.mean(dxh_s, axis=-1, keepdims=True)
-        m2 = jnp.mean(dxh_s * xn, axis=-1, keepdims=True)
-        dx = rstd * (dxh_s - m1 - xn * m2)
+        dx = _ln2d_in_cot(x_ref[gi].astype(jnp.float32), mu_ref[gi],
+                          rstd_ref[gi], lns32, dxh)
         dx_ref[gi] = gy + dx.astype(dtype)
 
 
@@ -268,7 +275,7 @@ def _head_major(attn_p, n_heads):
     return w3, b3
 
 
-def prepare_blocks(blocks, fused: bool = True):
+def prepare_blocks(blocks, fused: bool = True, tp: int = 1):
     """Stacked (L, ...) transformer block params -> list of L per-layer
     trees, with the fused kernels' transposed qkv layout materialized.
 
@@ -278,7 +285,12 @@ def prepare_blocks(blocks, fused: bool = True):
     ms/step of loop-invariant work XLA measurably does not hoist on
     v5e. Pre-slicing outside the scan pays that cost once per dispatch.
     core.layers.transformer consumes the list form with a Python loop
-    (identical math to the unrolled scan)."""
+    (identical math to the unrolled scan).
+
+    ``tp > 1`` (tensor-parallel mesh) additionally materializes the
+    per-shard qkv row permutation the TP kernels consume
+    (_qkv_tp_layout) — without it every scan iteration would rebuild
+    the permuted (3W, W) array per layer, fwd and bwd."""
     leaves = jax.tree_util.tree_leaves(blocks)
     n_layers = leaves[0].shape[0]
     out = []
@@ -287,6 +299,14 @@ def prepare_blocks(blocks, fused: bool = True):
         if fused and "attn" in layer:
             attn = dict(layer["attn"])
             attn["qkv_wT"] = attn["qkv_w"].T
+            w = attn["qkv_w"].shape[0]
+            if tp > 1 and w % tp == 0:
+                attn["qkv_wT_tp"] = (
+                    attn["qkv_wT"].reshape(3, tp, w // tp, w)
+                    .transpose(1, 0, 2, 3).reshape(3 * w, w))
+                attn["qkv_b_tp"] = (
+                    attn["qkv_b"].reshape(3, tp, w // tp, 1)
+                    .transpose(1, 0, 2, 3).reshape(3 * w, 1))
             layer = dict(layer, attn=attn)
         out.append(layer)
     return out
@@ -385,16 +405,19 @@ attn_block.defvjp(_attn_fwd, _attn_bwd)
 # ---------------------------------------------------------------- mlp block
 
 def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
-                    wproj_ref, bproj_ref,
-                    y_ref, hpre_ref, mu_ref, rstd_ref, *, eps, g_imgs,
-                    part=False):
+                    wproj_ref, *rest, eps, g_imgs, part=False):
     """``part=True``: wfc/bfc/wproj carry only this device's hidden-unit
     shard (4W/tp columns / rows); the fp32 partial down-projection is
-    emitted without bias or residual for a model-axis psum outside."""
+    emitted without bias (no bproj ref at all) or residual, for a
+    model-axis psum outside."""
+    if not part:
+        bproj_ref = rest[0]
+        rest = rest[1:]
+    y_ref, hpre_ref, mu_ref, rstd_ref = rest
     lns32 = lns_ref[...].astype(jnp.float32)
     lnb32 = lnb_ref[...].astype(jnp.float32)
     bfc32 = bfc_ref[...].astype(jnp.float32)
-    bproj32 = bproj_ref[...].astype(jnp.float32)
+    bproj32 = None if part else bproj_ref[...].astype(jnp.float32)
     for gi in range(g_imgs):
         x = x_ref[gi]                                  # (S, W)
         dtype = x.dtype
@@ -412,11 +435,11 @@ def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
         # the activation at different points.
         h32r = hpre.astype(jnp.float32)
         a = (h32r * jax.nn.sigmoid(1.702 * h32r)).astype(dtype)
-        y = _dot(a, wproj_ref[...], ((1,), (0,))) + bproj32
+        y = _dot(a, wproj_ref[...], ((1,), (0,)))
         if part:
             y_ref[gi] = y                              # fp32 partial
         else:
-            y_ref[gi] = x + y.astype(dtype)
+            y_ref[gi] = x + (y + bproj32).astype(dtype)
 
 
 def _mlp_bwd_kernel(*refs, eps, g_imgs, part=False):
@@ -440,15 +463,8 @@ def _mlp_bwd_kernel(*refs, eps, g_imgs, part=False):
         if part:
             dx_ref[gi] = dxh                           # fp32 partial
             continue
-        x = x_ref[gi]
-        x32 = x.astype(jnp.float32)
-        mu = mu_ref[gi]
-        rstd = rstd_ref[gi]
-        xn = (x32 - mu) * rstd
-        dxh_s = dxh * lns32
-        m1 = jnp.mean(dxh_s, axis=-1, keepdims=True)
-        m2 = jnp.mean(dxh_s * xn, axis=-1, keepdims=True)
-        dx = rstd * (dxh_s - m1 - xn * m2)
+        dx = _ln2d_in_cot(x_ref[gi].astype(jnp.float32), mu_ref[gi],
+                          rstd_ref[gi], lns32, dxh)
         dx_ref[gi] = gy + dx.astype(dtype)
 
 
@@ -618,13 +634,10 @@ def _dspec(mesh):
 
 def _ln_bwd(x, mu, rstd, ln_scale, dxh32, gy):
     """LayerNorm input-cotangent (scale/bias frozen) + residual, batched
-    over (B, S, W) in fp32 — the out-of-kernel tail of the TP backward."""
-    x32 = x.astype(jnp.float32)
-    xn = (x32 - mu) * rstd
-    dxh_s = dxh32 * ln_scale.astype(jnp.float32)
-    m1 = jnp.mean(dxh_s, axis=-1, keepdims=True)
-    m2 = jnp.mean(dxh_s * xn, axis=-1, keepdims=True)
-    dx = rstd * (dxh_s - m1 - xn * m2)
+    over (B, S, W) in fp32 — the out-of-kernel tail of the TP backward.
+    Same math as the in-kernel backwards (_ln2d_in_cot)."""
+    dx = _ln2d_in_cot(x.astype(jnp.float32), mu, rstd,
+                      ln_scale.astype(jnp.float32), dxh32)
     return gy + dx.astype(x.dtype)
 
 
@@ -633,6 +646,26 @@ def attn_block_tp(x, ln_p, attn_p, mask, n_heads, mesh):
     """y = x + OutProj(MHA(LN(x))) with heads Megatron-sharded over the
     mesh's "model" axis; batch rows sharded over "data"."""
     return _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh)[0]
+
+
+def _qkv_tp_layout(attn_p, n_heads, tp):
+    """(3W, W) head-major qkv rows, permuted so the leading axis shards
+    into per-device [q_k; k_k; v_k] blocks under P("model", None) — a
+    contiguous shard of the plain (3, H, D) order would cross the q|k|v
+    section boundaries. prepare_blocks materializes this once per
+    dispatch (qkv_wT_tp); the inline fallback keeps direct calls
+    working (the permutation then sits outside the shard_map, still
+    hoistable relative to per-call slicing)."""
+    w3tp = attn_p.get("qkv_wT_tp")
+    if w3tp is not None:
+        return w3tp, attn_p["qkv_b_tp"]
+    w3, b3 = _head_major(attn_p, n_heads)
+    w = w3.shape[1]
+    w3tp = (w3.reshape(3, tp, w // tp, w)
+            .transpose(1, 0, 2, 3).reshape(3 * w, w))
+    b3tp = (b3.reshape(3, tp, w // tp, 1)
+            .transpose(1, 0, 2, 3).reshape(3 * w, 1))
+    return w3tp, b3tp
 
 
 def _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh):
@@ -647,28 +680,16 @@ def _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh):
     has_mask = mask is not None
     ds = _dspec(mesh)
     dname = ds[0] if len(ds) else None
+    w3tp, b3tp = _qkv_tp_layout(attn_p, n_heads, tp)
 
-    # (3W, W) rows ordered (3, H, D): split into per-section (W, W)
-    # arrays so P("model", None) hands each device its heads' complete
-    # q/k/v slabs (a contiguous shard of 3W would cross the q|k|v
-    # boundaries).
-    w3, b3 = _head_major(attn_p, n_heads)
-    wq, wk, wv = w3[:w], w3[w:2 * w], w3[2 * w:]
-    bq, bk, bv = b3[:w], b3[w:2 * w], b3[2 * w:]
-
-    def local(x_l, lns, lnb, wq_l, wk_l, wv_l, bq_l, bk_l, bv_l,
-              wout_l, out_b, *maybe_mask):
-        w3_l = jnp.concatenate([wq_l, wk_l, wv_l], axis=0)   # (3Wl, W)
-        b3_l = jnp.concatenate([bq_l, bk_l, bv_l], axis=0)   # (3Wl, 1)
+    def local(x_l, lns, lnb, w3_l, b3_l, wout_l, out_b, *maybe_mask):
         b_l = x_l.shape[0]
         g = _pick_g(b_l)
         row2 = pl.BlockSpec((g, s, 1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
         in_specs = [_row3(g, s, w), _full(w), _full(w),
-                    _full(3 * wl, w), _full(3 * wl, 1), _full(wl, w),
-                    _full(w)]
-        args = [x_l, lns, lnb, w3_l, b3_l, wout_l,
-                jnp.zeros_like(out_b)]  # bias applied after the psum
+                    _full(3 * wl, w), _full(3 * wl, 1), _full(wl, w)]
+        args = [x_l, lns, lnb, w3_l, b3_l, wout_l]
         if has_mask:
             in_specs.append(_full(s, s))
             args.append(maybe_mask[0].astype(jnp.float32))
@@ -704,9 +725,8 @@ def _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh):
         return y, qkvt, probs, mu, rstd
 
     in_specs = [ds, P(), P(), P("model", None), P("model", None),
-                P("model", None), P("model", None), P("model", None),
-                P("model", None), P("model", None), P()]
-    args = [x, ln_p["scale"], ln_p["bias"], wq, wk, wv, bq, bk, bv,
+                P("model", None), P()]
+    args = [x, ln_p["scale"], ln_p["bias"], w3tp, b3tp,
             attn_p["out_w"], attn_p["out_b"]]
     if has_mask:
         in_specs.append(P())
@@ -731,12 +751,10 @@ def _attn_tp_bwd(n_heads, mesh, res, gy):
     wl = h_loc * d
     ds = _dspec(mesh)
     dname = ds[0] if len(ds) else None
-    w3, _ = _head_major(attn_p, n_heads)
-    wq, wk, wv = w3[:w], w3[w:2 * w], w3[2 * w:]
+    w3tp, _ = _qkv_tp_layout(attn_p, n_heads, tp)
     gy_c = gy.astype(x.dtype)
 
-    def local(qkvt_l, p_l, wq_l, wk_l, wv_l, wout_l, gy_l):
-        w3_l = jnp.concatenate([wq_l, wk_l, wv_l], axis=0)
+    def local(qkvt_l, p_l, w3_l, wout_l, gy_l):
         b_l = gy_l.shape[0]
         g = _pick_g(b_l)
         dxh_part = pl.pallas_call(
@@ -762,10 +780,9 @@ def _attn_tp_bwd(n_heads, mesh, res, gy):
     dxh = shard_map(
         local, mesh=mesh,
         in_specs=(P(dname, "model", None), P(dname, "model", None, None),
-                  P("model", None), P("model", None), P("model", None),
-                  P("model", None), ds),
+                  P("model", None), P("model", None), ds),
         out_specs=ds, check_rep=False,
-    )(qkvt, probs, wq, wk, wv, attn_p["out_w"], gy_c)
+    )(qkvt, probs, w3tp, attn_p["out_w"], gy_c)
     dx = _ln_bwd(x, mu, rstd, ln_p["scale"], dxh, gy_c)
     zl = jax.tree_util.tree_map(jnp.zeros_like, ln_p)
     za = jax.tree_util.tree_map(jnp.zeros_like, attn_p)
@@ -803,7 +820,7 @@ def _mlp_tp_fwd(x, ln_p, mlp_p, mesh):
                               part=True),
             grid=(b_l // g,),
             in_specs=[_row3(g, s, w), _full(w), _full(w),
-                      _full(w, w4l), _full(w4l), _full(w4l, w), _full(w)],
+                      _full(w, w4l), _full(w4l), _full(w4l, w)],
             out_specs=(_row3(g, s, w), _row3(g, s, w4l), row2, row2),
             out_shape=(
                 jax.ShapeDtypeStruct((b_l, s, w), jnp.float32),  # partial
@@ -814,8 +831,7 @@ def _mlp_tp_fwd(x, ln_p, mlp_p, mesh):
             compiler_params=(pltpu.CompilerParams(
                 vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
             interpret=_interpret(),
-        )(x_l, lns, lnb, wfc_l, bfc_l, wproj_l,
-          jnp.zeros_like(proj_b))  # bias applied after the psum
+        )(x_l, lns, lnb, wfc_l, bfc_l, wproj_l)  # bias after the psum
         y32 = jax.lax.psum(ypart, "model") + proj_b.astype(jnp.float32)
         y = x_l + y32.astype(x_l.dtype)
         return y, hpre, mu, rstd

@@ -118,24 +118,41 @@ def test_tp_bf16(setup, rng):
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-2)
 
 
-def test_select_attn_fn_tp_mesh_keeps_kernels(monkeypatch):
-    """select_attn_fn no longer downgrades tensor-parallel meshes: forced
-    'block' — and 'auto' wherever Pallas-TPU compiles (monkeypatched
-    here; on CPU available() is False by design) — return the sharded
-    marker."""
-    from mvlpt_tpu.ops import attention as attn_mod
+def test_prepared_tp_layout_matches_inline(setup):
+    """prepare_blocks(tp=...) pre-materializes the per-shard qkv row
+    permutation (qkv_wT_tp) the windowed scan consumes; results must be
+    identical to the inline-permutation fallback."""
+    p, x, mask = setup
+    stacked = jax.tree_util.tree_map(lambda a: a[None], p)
+    prepped = B.prepare_blocks(stacked, fused=True, tp=2)[0]
+    assert "qkv_wT_tp" in prepped["attn"]
+    assert prepped["attn"]["qkv_wT_tp"].shape == (3 * W, W)
+    mesh = create_mesh(n_data=4, n_model=2, devices=jax.devices())
+    with mesh:
+        want = B.fused_residual_block_sharded(x, p, HEADS, mask, mesh)
+        got = B.fused_residual_block_sharded(x, prepped, HEADS, mask, mesh)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_select_attn_fn_tp_mesh_routing(monkeypatch):
+    """Forced 'block' engages the Megatron-sharded kernels on a TP mesh;
+    'auto' stays on the XLA path there (measured-wins-only — the TP
+    variants have no hardware throughput datapoint yet) but still picks
+    the shard_map kernels on dp-only meshes."""
     from mvlpt_tpu.ops import block as block_ops
     from mvlpt_tpu.ops.attention import select_attn_fn
 
-    mesh = create_mesh(n_data=4, n_model=2, devices=jax.devices())
-    fn = select_attn_fn("block", mesh=mesh)
+    tp_mesh = create_mesh(n_data=4, n_model=2, devices=jax.devices())
+    fn = select_attn_fn("block", mesh=tp_mesh)
     assert getattr(fn, "fused_block", False)
-    assert fn.mesh is mesh and not fn.auto_selected
+    assert fn.mesh is tp_mesh and not fn.auto_selected
 
     monkeypatch.setattr(block_ops, "available", lambda: True)
-    fn = select_attn_fn("auto", mesh=mesh)
+    assert select_attn_fn("auto", mesh=tp_mesh) is None
+    dp_mesh = create_mesh(n_data=8, n_model=1, devices=jax.devices())
+    fn = select_attn_fn("auto", mesh=dp_mesh)
     assert getattr(fn, "fused_block", False)
-    assert fn.mesh is mesh and fn.auto_selected
+    assert fn.mesh is dp_mesh and fn.auto_selected
 
 
 def test_windowed_step_tp_kernels():
@@ -145,8 +162,7 @@ def test_windowed_step_tp_kernels():
     from mvlpt_tpu.config import get_cfg_default
     from mvlpt_tpu.models.custom_clip import MVLPTModel
     from mvlpt_tpu.ops.attention import select_attn_fn
-    from mvlpt_tpu.parallel import (
-        backbone_partition_specs, batch_specs, create_mesh, shard_tree)
+    from mvlpt_tpu.parallel import backbone_partition_specs, shard_tree
     from mvlpt_tpu.train.optim import build_optimizer
     from mvlpt_tpu.train.train_step import (
         init_train_state, make_train_step_multi)
