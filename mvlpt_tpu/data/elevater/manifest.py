@@ -56,7 +56,13 @@ def load_metadata() -> dict:
 
 
 def class_map(task: str) -> list:
-    return load_metadata()[task]["classes"]
+    meta = load_metadata()
+    if task not in meta:
+        raise KeyError(
+            f"unknown ELEVATER task {task!r} — prompts/classnames come "
+            f"from data/elevater/metadata.json (the reference's "
+            f"prompts.py:3221 tables); known tasks: {sorted(meta)}")
+    return meta[task]["classes"]
 
 
 def class_map_metric(task: str) -> str:
@@ -123,6 +129,18 @@ def load_task_manifest(root: str, task: str, train_set: str = "train",
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
+        if "num_classes" in m and m["num_classes"] != n_classes:
+            # The manager builds prompts/label offsets from the metadata
+            # classname table but k-hot targets from the manifest count;
+            # letting them disagree surfaces later as an opaque logit /
+            # target shape mismatch inside the train step.
+            raise ValueError(
+                f"task {task!r}: manifest.json declares "
+                f"num_classes={m['num_classes']} but the metadata "
+                f"classname table has {n_classes} classes "
+                f"(data/elevater/metadata.json). Rebuild the manifest "
+                f"(mvlpt_tpu.cli.build_manifest) or register the "
+                f"task's real classnames — counts must agree.")
         splits = {}
         for split, rows in m["splits"].items():
             splits[split] = [

@@ -89,6 +89,29 @@ def test_elevater_single_task(cfg, tmp_path):
     assert batch["label"].ndim == 1  # multiclass -> int labels
 
 
+def test_elevater_manifest_metadata_class_count_mismatch(cfg, tmp_path):
+    """A manifest whose num_classes disagrees with the metadata classname
+    table must fail loudly at load time — the manager builds prompts
+    from the metadata names but k-hot targets/offsets from the manifest
+    count, so a silent mismatch surfaces as an opaque logit-shape crash
+    deep inside the train step."""
+    make_elevater_task(tmp_path, "cifar-10", 5, n_train=10, n_test=4)
+    cfg.DATASET.DATASET = "cifar-10"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    with pytest.raises(ValueError, match="num_classes=5.*10 classes"):
+        ElevaterDataManager(cfg)
+
+
+def test_elevater_unknown_task_names_known_ones(cfg, tmp_path):
+    """Tasks outside the metadata registry get an actionable KeyError
+    (prompts/classnames come from the reference's prompts.py tables —
+    there is nothing to synthesize them from)."""
+    from mvlpt_tpu.data.elevater.manifest import class_map
+
+    with pytest.raises(KeyError, match="unknown ELEVATER task 'not-a-task'"):
+        class_map("not-a-task")
+
+
 def test_elevater_one_shot_keeps_train_set(cfg, tmp_path):
     """1-shot: no 80/20 split — val IS the train set (feature.py:602-605);
     a split would move every class's single item to val and train nothing."""
