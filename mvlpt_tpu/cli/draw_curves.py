@@ -83,8 +83,12 @@ def read_xlsx_sheet(path: str, sheet_name: str) -> dict[str, list]:
             names = [sh.get("name") for sh in wb.find("m:sheets", _NS)]
             raise SystemExit(
                 f"sheet {sheet_name!r} not in {path} (has: {names})")
+        # Absolute OPC targets ("/xl/worksheets/sheet1.xml") are legal:
+        # strip the leading slash BEFORE testing the prefix, else the
+        # "xl/" prefix gets doubled.
+        sheet_target = sheet_target.lstrip("/")
         if not sheet_target.startswith("xl/"):
-            sheet_target = "xl/" + sheet_target.lstrip("/")
+            sheet_target = "xl/" + sheet_target
 
         shared = []
         if "xl/sharedStrings.xml" in z.namelist():
@@ -185,19 +189,29 @@ def draw_from_sheet(path: str, sheet_name: str, save_dir: str,
         if not datasets:  # arbitrary workbooks: every numeric column
             datasets = [k for k, v in columns.items()
                         if v and isinstance(v[0], float)]
+    if not datasets:
+        raise SystemExit(
+            f"no dataset columns found in sheet {sheet_name!r} of {path} "
+            f"(looked for {DEFAULT_DATASETS[:3]}... and numeric columns); "
+            f"available columns: {sorted(columns)[:12]}")
     os.makedirs(save_dir, exist_ok=True)
 
     import numpy as np
+
+    def _cell(v):
+        # blank cells read as None; the reference (pandas read_excel)
+        # yields NaN there and still plots — match that.
+        return float("nan") if v is None else float(v)
 
     avg_zs = 0.0
     avg = {k: np.zeros(len(SHOTS)) for k in METHODS}
     for dataset in datasets:
         print(f"Processing {dataset} ...")
         col = columns[dataset]
-        zs = float(col[0])
+        zs = _cell(col[0])
         curves = {}
         for key, (rows, *_rest) in METHODS.items():
-            vals = [float(v) for v in col[rows]]
+            vals = [_cell(v) for v in col[rows]]
             if len(vals) != len(SHOTS):
                 raise SystemExit(
                     f"{dataset}: rows {rows} hold {len(vals)} values, "

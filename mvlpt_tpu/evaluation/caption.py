@@ -243,8 +243,6 @@ def _align(cand, ref):
     report more chunks for the same matches and understate the score).
     Exhaustive DFS with per-word match quotas; captions are short and
     duplicates rare, with a node cap falling back to greedy."""
-    from collections import Counter
-
     cr = Counter(ref)
     quota = {w: min(c, cr[w]) for w, c in Counter(cand).items() if w in cr}
     if not quota:
@@ -255,20 +253,15 @@ def _align(cand, ref):
 
     best = {"chunks": None, "matches": None, "nodes": 0}
 
-    def chunks_of(ms):
-        runs = 1
-        for (pi, pj), (ci, cj) in zip(ms, ms[1:]):
-            if ci != pi + 1 or cj != pj + 1:
-                runs += 1
-        return runs
-
     def dfs(i, used, matched, acc):
         """Returns False once the node cap is hit (search incomplete)."""
         best["nodes"] += 1
         if best["nodes"] > _ALIGN_NODE_CAP:
             return False
         if i == len(cand):
-            c = chunks_of(acc) if acc else 0
+            # the DFS objective and the reported fragmentation penalty
+            # must count chunks identically — single definition
+            c = _chunks(acc)
             if best["chunks"] is None or c < best["chunks"]:
                 best["chunks"], best["matches"] = c, list(acc)
             return True

@@ -102,11 +102,24 @@ def roc_auc(y_true, y_pred) -> float:
 
 
 def threshold_accuracy(y_true, y_pred, threshold: float = 0.5) -> float:
-    """Per-entry accuracy of thresholded multilabel predictions
-    (metrics.py:293-333)."""
+    """Sample-based intersection-over-union accuracy of thresholded
+    multilabel predictions (ThresholdAccuracyEvaluator,
+    metrics.py:293-333): per sample, |pred ∩ target| / |pred ∪ target|
+    (denominator clamped to 1 when both are empty), averaged over
+    samples. Deliberately NOT elementwise equality — that would count
+    true negatives, which the reference calls "too harsh"/meaningless
+    for sparse label spaces. (N,) multiclass targets are one-hot
+    expanded (metrics.py:122-130); the filter is ``>= threshold``
+    (ThresholdPredictionFilter.filter, metrics.py:106)."""
+    p = np.asarray(y_pred)
     y = np.asarray(y_true)
-    p = (np.asarray(y_pred) > threshold).astype(np.int64)
-    return float((p == y).mean())
+    if y.ndim == 1:
+        y = np.eye(p.shape[1], dtype=np.int64)[y]
+    over = (p >= threshold).astype(np.int64)
+    n_correct = (over * y).sum(axis=1)
+    n_total = ((over + y) >= 1).sum(axis=1)
+    n_total[n_total == 0] = 1
+    return float((n_correct / n_total).mean())
 
 
 def macro_f1(y_true, y_pred) -> float:
@@ -124,10 +137,21 @@ def average_precision(y_true, y_pred) -> float:
 
 
 def tag_wise_accuracy(y_true, y_pred) -> float:
-    """Mean per-tag binary accuracy (metrics.py:431-482)."""
-    y = np.asarray(y_true)
-    p = (np.asarray(y_pred) > 0.5).astype(np.int64)
-    return float(np.mean([(p[:, c] == y[:, c]).mean() for c in range(y.shape[1])]))
+    """Per-class recall for MULTICLASS predictions: argmax the scores,
+    build the confusion matrix over all classes, row-normalize, take
+    the diagonal with nan→0 (TagWiseAccuracyEvaluator,
+    metrics.py:431-460). The reference reports the per-class list; the
+    trainer's results contract here is scalar-per-metric, so this
+    returns the list's mean — the per-class math is identical."""
+    y = _as_int_labels(y_true)
+    p = np.asarray(y_pred)
+    n_cls = p.shape[1]
+    pred = np.argmax(p, axis=1)
+    cm = np.zeros((n_cls, n_cls), np.int64)
+    np.add.at(cm, (y, pred), 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        per_class = np.nan_to_num(cm.diagonal() / cm.sum(axis=1))
+    return float(per_class.mean())
 
 
 def ece_loss(y_true, y_pred, n_bins: int = 15) -> float:

@@ -509,16 +509,21 @@ int mvlpt_resample(const uint8_t* in, int32_t in_w, int32_t in_h, double bx0,
   bool need_h = out_w != in_w || bx0 != 0.0 || bx1 != out_w;
   bool need_v = out_h != in_h || by0 != 0.0 || by1 != out_h;
 
-  std::vector<int> bounds_h, bounds_v;
-  std::vector<int32_t> kk_h, kk_v;
-  int ksize_h = 0, ksize_v = 0;
-  precompute_coeffs(in_w, bx0, bx1, out_w, flt, bounds_h, kk_h, &ksize_h);
-  precompute_coeffs(in_h, by0, by1, out_h, flt, bounds_v, kk_v, &ksize_v);
-
   if (!need_h && !need_v) {
     std::memcpy(out, in, static_cast<size_t>(in_w) * in_h * 3);
     return MVLPT_OK;
   }
+
+  // Each coefficient table only when its pass runs (as Pillow does) —
+  // a single-axis resize in the hot loader path skips the other's
+  // O(out * ksize) table build.
+  std::vector<int> bounds_h, bounds_v;
+  std::vector<int32_t> kk_h, kk_v;
+  int ksize_h = 0, ksize_v = 0;
+  if (need_h)
+    precompute_coeffs(in_w, bx0, bx1, out_w, flt, bounds_h, kk_h, &ksize_h);
+  if (need_v)
+    precompute_coeffs(in_h, by0, by1, out_h, flt, bounds_v, kk_v, &ksize_v);
 
   if (need_h && need_v) {
     // Restrict the horizontal pass to the rows the vertical pass reads,

@@ -270,3 +270,50 @@ def test_mean_lp_error():
     assert mean_lp_error(y, p, p=1) == pytest.approx(1.0)
     assert mean_lp_error(y, p, p=2) == pytest.approx(0.5)
     assert mean_lp_error(np.array([]), np.array([]), p=1) == 0.0
+
+
+def test_threshold_accuracy_reference_semantics():
+    """ThresholdAccuracyEvaluator (metrics.py:293-333) is per-sample
+    |pred ∩ target| / |pred ∪ target| — NOT elementwise equality, which
+    would count true negatives: on sparse multilabel with every score
+    below threshold the answer is 0, not ~0.9. Values verified against
+    the reference class executed side-by-side."""
+    from mvlpt_tpu.evaluation.metrics import threshold_accuracy
+
+    rng = np.random.RandomState(0)
+    y = (rng.rand(50, 20) < 0.1).astype(int)
+    assert threshold_accuracy(y, rng.rand(50, 20) * 0.4) == 0.0
+    # hand-checkable: sample 0 IoU 1/2, sample 1 IoU 0 -> mean 0.25
+    y2 = np.array([[1, 0, 0], [0, 1, 0]])
+    p2 = np.array([[0.9, 0.8, 0.1], [0.1, 0.2, 0.9]])
+    assert threshold_accuracy(y2, p2) == pytest.approx(0.25)
+    # filter is >= threshold (a score AT 0.5 counts as predicted)
+    assert threshold_accuracy(
+        np.array([[1, 0, 0]]), np.array([[0.5, 0.0, 0.0]])) == 1.0
+    # empty-union samples contribute 0 (clamped denominator, not nan)
+    assert threshold_accuracy(
+        np.zeros((2, 3), int), np.zeros((2, 3))) == 0.0
+    # (N,) multiclass targets one-hot expand (metrics.py:122-130)
+    assert threshold_accuracy(
+        np.array([0, 2]), p2) == pytest.approx((1 / 2 + 1 / 1) / 2)
+
+
+def test_tag_wise_accuracy_reference_semantics():
+    """TagWiseAccuracyEvaluator (metrics.py:431-460) is argmax-based
+    per-class recall (row-normalized confusion diagonal, nan→0) for
+    multiclass — not 0.5-thresholded binary accuracy. Returns the mean
+    of the reference's per-class list (results contract is scalar)."""
+    from mvlpt_tpu.evaluation.metrics import tag_wise_accuracy
+
+    y = np.array([0, 0, 1, 1, 2])
+    p = np.array([[0.9, 0.1, 0.0],   # 0 -> 0 correct
+                  [0.1, 0.9, 0.0],   # 0 -> 1 wrong
+                  [0.0, 1.0, 0.0],   # 1 -> 1 correct
+                  [0.0, 1.0, 0.0],   # 1 -> 1 correct
+                  [1.0, 0.0, 0.0]])  # 2 -> 0 wrong
+    # recalls: 0.5, 1.0, 0.0 -> mean 0.5
+    assert tag_wise_accuracy(y, p) == pytest.approx(0.5)
+    # class absent from targets: nan row -> 0, not nan
+    y2 = np.array([0, 0])
+    p2 = np.array([[1.0, 0.0], [1.0, 0.0]])
+    assert tag_wise_accuracy(y2, p2) == pytest.approx(0.5)
