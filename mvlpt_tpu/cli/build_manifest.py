@@ -196,11 +196,25 @@ def cli():
     task_dir = os.path.join(args.root, args.task)
     os.makedirs(task_dir, exist_ok=True)
     if args.link:
-        for split in rows:
-            src_split = os.path.join(args.src, split)
-            dst = os.path.join(task_dir, split)
-            if os.path.isdir(src_split) and not os.path.exists(dst):
-                os.symlink(os.path.abspath(src_split), dst)
+        # Symlink every top-level directory the rows actually reference
+        # (manifest paths resolve relative to the task dir). ImageFolder
+        # rows start with the split name; index-TSV rows may reference
+        # arbitrary dirs (e.g. ``images/1.jpg``) — linking only the
+        # split dirs would leave those paths dangling.
+        heads = {p_.split(os.sep, 1)[0].split("/", 1)[0]
+                 for r in rows.values() for p_, _ in r}
+        for head in sorted(heads | set(rows)):
+            src_head = os.path.join(args.src, head)
+            dst = os.path.join(task_dir, head)
+            if os.path.isdir(src_head) and not os.path.exists(dst):
+                os.symlink(os.path.abspath(src_head), dst)
+        dangling = [h for h in heads
+                    if not os.path.exists(os.path.join(task_dir, h))]
+        if dangling:
+            raise SystemExit(
+                f"--link: row paths reference {sorted(dangling)} but no "
+                f"matching directory exists under {args.src} to link; "
+                f"rerun without --link to write relative paths instead")
     else:
         # reference images in place via relative-to-task paths
         rel = os.path.relpath(os.path.abspath(args.src), task_dir)

@@ -79,12 +79,29 @@ def _check_elevater(root: str, task: str) -> list[str]:
             from mvlpt_tpu.data.elevater import load_task_manifest
 
             m = load_task_manifest(root, task)
+
+            def _exists(path):
+                # hub-dump manifests keep images INSIDE the split zips
+                # (`train.zip@1.jpg`, data/zipio.py) — check the zip
+                # member, not the literal path.
+                from mvlpt_tpu.data import zipio
+
+                if zipio.is_zip_path(path):
+                    archive, member = zipio.split_zip_path(path)
+                    if not os.path.exists(archive):
+                        return False
+                    try:
+                        return member in zipio._handle(archive).namelist()
+                    except Exception:
+                        return False
+                return os.path.exists(path)
+
             for split, items in (("train", m.train), ("test", m.test)):
                 if not items:
                     problems.append(f"{task}: empty {split} split")
                     continue
                 missing = [it.impath for it in items[:50]
-                           if not os.path.exists(it.impath)]
+                           if not _exists(it.impath)]
                 if missing:
                     problems.append(
                         f"{task}: {len(missing)}/50 sampled {split} image "
@@ -113,6 +130,29 @@ def _sample_decode(root: str) -> list[str]:
                 except Exception as e:
                     problems.append(f"undecodable image {dirpath}/{f}: {e!r}")
                 count += 1
+                if count >= 20:
+                    return problems
+    if count == 0:
+        # zip-backed hub dumps keep every image inside split zips —
+        # sample members from those before declaring the root empty.
+        import zipfile
+
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                if not f.lower().endswith(".zip"):
+                    continue
+                zpath = os.path.join(dirpath, f)
+                try:
+                    with zipfile.ZipFile(zpath) as z:
+                        names = [n for n in z.namelist() if n.lower()
+                                 .endswith((".jpg", ".jpeg", ".png"))]
+                        for n in names[:5]:
+                            import io
+
+                            Image.open(io.BytesIO(z.read(n))).load()
+                            count += 1
+                except Exception as e:
+                    problems.append(f"bad zip {zpath}: {e!r}")
                 if count >= 20:
                     return problems
     if count == 0:

@@ -28,6 +28,11 @@ def reset_cfg(cfg, args):
         cfg.OUTPUT_DIR = args.output_dir
     if args.resume:
         cfg.RESUME = args.resume
+    # Reference-faithful quirk (train.py:58-60 + :233 "only positive
+    # value enables a fixed seed"): the argparse default -1 is truthy,
+    # so omitting --seed OVERWRITES any config-file SEED with -1
+    # (disabling the fixed seed), and --seed 0 is dropped. Kept as-is
+    # so seed-sensitive runs reproduce the reference's selection.
     if args.seed:
         cfg.SEED = args.seed
         cfg.DATASET.RANDOM_SEED_SAMPLING = args.seed

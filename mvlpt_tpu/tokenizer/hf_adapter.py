@@ -15,6 +15,14 @@ class HFPTTokenizer:
 
         self.pt_name = pt_name
         self.tokenizer = AutoTokenizer.from_pretrained(pt_name)
+        # GPT-2-family tokenizers ship no pad token; padding='max_length'
+        # would raise. The reference adapter aliases pad to eos for these
+        # (hfpt_tokenizer.py:33).
+        if self.tokenizer.pad_token is None:
+            if self.tokenizer.eos_token is not None:
+                self.tokenizer.pad_token = self.tokenizer.eos_token
+            else:
+                self.tokenizer.add_special_tokens({"pad_token": "<PAD>"})
 
     @property
     def vocab_size(self) -> int:

@@ -33,22 +33,32 @@ from mvlpt_tpu.utils.registry import TRAINER_REGISTRY
 class FinetuneModel:
     clip_cfg: CLIPConfig
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # (mean, std) for raw-uint8 batches (TPU.DEVICE_NORMALIZE loaders);
+    # float batches pass through device_normalize untouched.
+    normalize: tuple | None = None
 
     def __call__(self, backbone, params, consts, images, tasks=None,
                  task_ranges=None, rng=None):
+        from mvlpt_tpu.data.transforms import device_normalize
+        from mvlpt_tpu.models.custom_clip import _apply_task_mask
+
+        if self.normalize is not None:
+            images = device_normalize(images, *self.normalize)
+        # Mixed precision: fp32 master params (the optimizer state), cast
+        # to the compute dtype INSIDE the differentiated function — the
+        # tower then actually runs bf16 (encode_image derives its compute
+        # dtype from the kernel dtype), cotangents cast back to fp32.
+        visual = jax.tree_util.tree_map(
+            lambda x: x.astype(self.compute_dtype), params["visual"])
         feats = vit_mod.encode_image(
-            params["visual"], images.astype(self.compute_dtype),
+            visual, images.astype(self.compute_dtype),
             patch_size=self.clip_cfg.vision_patch_size,
             n_heads=self.clip_cfg.vision_heads)
         logits = (feats.astype(jnp.float32)
                   @ params["head"]["kernel"].astype(jnp.float32)
                   + params["head"]["bias"])
         if tasks is not None and task_ranges is not None:
-            cls_idx = jnp.arange(logits.shape[-1])[None, :]
-            lo = task_ranges.start[tasks][:, None]
-            hi = task_ranges.end[tasks][:, None]
-            logits = logits * ((cls_idx >= lo) & (cls_idx < hi)).astype(
-                logits.dtype)
+            logits = _apply_task_mask(logits, tasks, task_ranges)
         return logits
 
 
@@ -72,6 +82,20 @@ class FinetuneCLIP(PromptTrainer):
     """--trainer FinetuneCLIP: full-model finetune with a linear head."""
 
     trainer_cfg_key = "MVLPT"  # PREC etc. read from the MVLPT namespace
+
+    def run_epoch(self):
+        # Windowed dispatch (TRAIN.STEPS_PER_DISPATCH > 1) builds
+        # make_train_step_multi around the model, which requires the
+        # prompt-model protocol (prepare_backbone / embed_image /
+        # pre_embedded) that FinetuneModel does not implement — and the
+        # amortization matters far less here (the full-tower backward
+        # dwarfs the dispatch overhead). Always run the per-batch path.
+        window = int(self.cfg.TRAIN.STEPS_PER_DISPATCH)
+        if window > 1 and self.epoch == 0:
+            print(f"FinetuneCLIP: TRAIN.STEPS_PER_DISPATCH={window} "
+                  f"ignored (windowed dispatch is a prompt-trainer "
+                  f"optimization); running per-batch steps")
+        return self._run_epoch_plain()
 
     def build_model(self):
         cfg = self.cfg
@@ -107,8 +131,10 @@ class FinetuneCLIP(PromptTrainer):
                 start=jnp.asarray([idx[t][0] for t in self.dm._task_names]),
                 end=jnp.asarray([idx[t][1] for t in self.dm._task_names]))
 
-        self.model = FinetuneModel(clip_cfg=self.clip_cfg,
-                                   compute_dtype=compute_dtype)
+        self.model = FinetuneModel(
+            clip_cfg=self.clip_cfg, compute_dtype=compute_dtype,
+            normalize=(tuple(cfg.INPUT.PIXEL_MEAN),
+                       tuple(cfg.INPUT.PIXEL_STD)))
         steps_per_epoch = max(1, len(self.train_loader_x))
         self.steps_per_epoch = steps_per_epoch
         self.tx, self.lr_schedule = build_finetune_optimizer(

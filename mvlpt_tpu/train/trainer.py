@@ -374,6 +374,12 @@ class PromptTrainer:
         window = max(1, int(self.cfg.TRAIN.STEPS_PER_DISPATCH))
         if window > 1:
             return self._run_epoch_windowed(window)
+        return self._run_epoch_plain()
+
+    def _run_epoch_plain(self):
+        """One jitted step per loader batch (the window=1 path; also the
+        path trainers without the multi-step model protocol use —
+        FinetuneCLIP overrides run_epoch to come here directly)."""
         meter = MetricMeter()
         num_batches = len(self.train_loader_x)
         rng = jax.random.PRNGKey(max(self.cfg.SEED, 0) * 131 + self.epoch)

@@ -171,6 +171,50 @@ def test_finetune_clip_trainer(tmp_path):
         str(tmp_path / "out_ft"), "prompt_learner", "model.pth.tar-2"))
 
 
+def test_finetune_clip_tpu_fast_options(tmp_path):
+    """FinetuneCLIP under the tpu_fast config knobs: DEVICE_NORMALIZE
+    loaders emit raw uint8 (the model must normalize on device — it fed
+    0-255 pixels to the tower before the fix) and STEPS_PER_DISPATCH>1
+    must fall back to per-batch steps instead of crashing on the
+    prompt-model multi-step protocol."""
+    import numpy as np
+
+    make_elevater_task(tmp_path / "data", "cifar-10", 10, n_train=16,
+                       n_test=8)
+    trainer = _run([
+        "--root", str(tmp_path / "data"),
+        "--output-dir", str(tmp_path / "out_ftw"),
+        "--trainer", "FinetuneCLIP", "--dataset", "cifar-10",
+        "--seed", "1", "--shots", "2",
+        "OPTIM.MAX_EPOCH", "1", "OPTIM.LR", "0.01", "OPTIM.WARMUP_EPOCH", "0",
+        "DATALOADER.TRAIN_X.BATCH_SIZE", "4", "DATALOADER.TEST.BATCH_SIZE", "4",
+        "DATALOADER.NUM_WORKERS", "0", "INPUT.SIZE", "(32, 32)",
+        "MODEL.BACKBONE.NAME", "ViT-B/32", "TEST.FINAL_MODEL", "last_step",
+        "TPU.DEVICE_NORMALIZE", "True", "TRAIN.STEPS_PER_DISPATCH", "8",
+    ])
+    assert trainer.model.normalize is not None
+    # the uint8 batch is normalized on device: a raw-pixel forward of the
+    # same batch must differ from the model's logits
+    batch = next(iter(trainer.test_loader))
+    img = batch["image"]
+    assert img.dtype == np.uint8  # DEVICE_NORMALIZE loader contract
+    logits = np.asarray(trainer.model(
+        {}, trainer.state.prompt_params, None, jnp_asarray(img)))
+    import dataclasses as _dc
+
+    raw_model = _dc.replace(trainer.model, normalize=None)
+    logits_raw = np.asarray(raw_model(
+        {}, trainer.state.prompt_params, None, jnp_asarray(img)))
+    assert not np.allclose(logits, logits_raw)
+    assert np.isfinite(logits).all()
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def test_warm_start_transfer_training(tmp_path):
     """Target-task adaptation (SURVEY §3.3): --model-dir loads the source
     prompt, then training continues on the target task."""

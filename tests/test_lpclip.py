@@ -19,7 +19,7 @@ from util_fixtures import make_elevater_task
 def test_lpclip_rn50_extract_and_probe(tmp_path, monkeypatch):
     monkeypatch.setenv("MVLPT_TPU_RANDOM_CLIP", "1")
     root = tmp_path / "elevater"
-    make_elevater_task(str(root), "cifar-10", n_classes=3, n_train=6, n_test=4)
+    make_elevater_task(str(root), "cifar-10", n_classes=10, n_train=20, n_test=4)
 
     from mvlpt_tpu.cli.lpclip import extract_features, probe
 
