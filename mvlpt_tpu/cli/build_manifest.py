@@ -52,7 +52,7 @@ def from_image_folder(src: str, splits=("train", "test")):
                     continue
                 rows[split].append(
                     [f"{split}/{folder}/{name}", [label_of[folder]]])
-    return rows, len(classes)
+    return rows, classes
 
 
 def from_index_tsv(src: str, splits=("train", "test")):
@@ -181,17 +181,26 @@ def cli():
             f", {n_classes} classes")
         return
 
-    rows, n_from_folders = from_image_folder(args.src)
-    if not rows:
-        rows, n_from_folders = from_index_tsv(args.src)
+    rows, folder_classes = from_image_folder(args.src)
+    if rows:
+        n_from_src = len(folder_classes)
+    else:
+        rows, n_from_src = from_index_tsv(args.src)
+        folder_classes = None
     if not rows:
         raise SystemExit(f"no train/test ImageFolder or *.tsv found in {args.src}")
 
     from mvlpt_tpu.data.elevater import class_map, load_metadata
 
-    n_classes = n_from_folders
-    if args.task in load_metadata():
+    n_classes, own_classnames = n_from_src, None
+    if args.task in load_metadata() and len(class_map(args.task)) == n_from_src:
         n_classes = len(class_map(args.task))
+    elif folder_classes:
+        # Task unknown to metadata.json, or the source carries a
+        # different class count (e.g. a local subset): make the manifest
+        # self-describing so the loader's class-count guard doesn't bind
+        # (manifest classnames are authoritative, docs/DATASETS.md).
+        own_classnames = folder_classes
 
     task_dir = os.path.join(args.root, args.task)
     os.makedirs(task_dir, exist_ok=True)
@@ -227,6 +236,8 @@ def cli():
         "num_classes": n_classes,
         "splits": rows,
     }
+    if own_classnames is not None:
+        manifest["classnames"] = own_classnames
     out = os.path.join(task_dir, "manifest.json")
     with open(out, "w") as f:
         json.dump(manifest, f)

@@ -101,7 +101,9 @@ def cli():
             # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
             images = device_normalize(images, _mean, _std)
             return clip_core.encode_image(backbone, images, clip_cfg)
-    dm = build_data_manager(cfg)
+    # zoo models never consume classnames (no text tower), so the
+    # manifest/metadata class-count guard must not bind there
+    dm = build_data_manager(cfg, strict_classnames=not args.model)
 
     from mvlpt_tpu.utils.pipeline import dump_split_features
 

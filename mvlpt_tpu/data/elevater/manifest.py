@@ -96,6 +96,10 @@ class TaskManifest:
     # Populated only when DATASET.VAL_SET names an explicit val split
     # (feature.py:611-613); empty means "carve val out of train".
     val: list[ElevaterItem] = dataclasses.field(default_factory=list)
+    # Classname table resolved at load time (manifest-declared >
+    # metadata.json > placeholders); entries may be synonym lists
+    # like class_map's (mvlpt.py:754-758).
+    classnames: list = dataclasses.field(default_factory=list)
 
     @property
     def is_multilabel(self) -> bool:
@@ -114,33 +118,65 @@ def _load_image_folder_split(split_dir: str, classnames) -> list[ElevaterItem]:
     return items
 
 
+def _resolve_classnames(task: str, declared: int | None, own,
+                        strict: bool):
+    """Pick the classname table for a task (manifest-declared >
+    metadata.json > placeholders) and enforce count agreement.
+
+    The guard exists because prompt-tuning flows build prompts / label
+    offsets from the classname table but k-hot targets from the
+    manifest count — a silent disagreement surfaces later as an opaque
+    logit / target shape mismatch inside the train step. It is scoped
+    to flows that actually consume classnames: a manifest carrying its
+    own ``classnames`` is authoritative for its local data, and pure
+    feature-extraction flows (``strict=False`` — e.g. the non-CLIP
+    model-zoo branch of extract_features, where no text tower ever
+    reads a classname) get positional placeholders instead of a hard
+    fail."""
+    if own is not None:
+        if declared is not None and len(own) != declared:
+            raise ValueError(
+                f"task {task!r}: manifest.json declares "
+                f"num_classes={declared} but carries "
+                f"{len(own)} classnames — counts must agree.")
+        return list(own), len(own)
+    meta_names = class_map(task)
+    if declared is not None and declared != len(meta_names):
+        if strict:
+            raise ValueError(
+                f"task {task!r}: manifest.json declares "
+                f"num_classes={declared} but the metadata classname "
+                f"table has {len(meta_names)} classes "
+                f"(data/elevater/metadata.json). Rebuild the manifest "
+                f"(mvlpt_tpu.cli.build_manifest), add a 'classnames' "
+                f"list to the manifest, or register the task's real "
+                f"classnames — counts must agree.")
+        return [f"{task} class {i}" for i in range(declared)], declared
+    return list(meta_names), len(meta_names)
+
+
 def load_task_manifest(root: str, task: str, train_set: str = "train",
-                       val_set: str = "", test_set: str = "val") -> TaskManifest:
+                       val_set: str = "", test_set: str = "val", *,
+                       strict_classnames: bool = True) -> TaskManifest:
     """Load one task, honoring DATASET.TRAIN_SET/VAL_SET/TEST_SET
     (feature.py:609-617: the local ImageFolder path reads
     ROOT/<TRAIN_SET> and ROOT/<TEST_SET>, plus ROOT/<VAL_SET> when set).
     With the reference default TEST_SET='val', a ``test`` directory (our
-    canonical layout) is also accepted."""
+    canonical layout) is also accepted.
+
+    ``strict_classnames=False`` relaxes the manifest/metadata
+    class-count guard for flows that never consume classnames (see
+    _resolve_classnames)."""
     task_dir = os.path.join(root, task)
     manifest_path = os.path.join(task_dir, "manifest.json")
-    n_classes = len(class_map(task))
     test_candidates = [test_set, "test", "val"] if test_set == "val" \
         else [test_set]
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             m = json.load(f)
-        if "num_classes" in m and m["num_classes"] != n_classes:
-            # The manager builds prompts/label offsets from the metadata
-            # classname table but k-hot targets from the manifest count;
-            # letting them disagree surfaces later as an opaque logit /
-            # target shape mismatch inside the train step.
-            raise ValueError(
-                f"task {task!r}: manifest.json declares "
-                f"num_classes={m['num_classes']} but the metadata "
-                f"classname table has {n_classes} classes "
-                f"(data/elevater/metadata.json). Rebuild the manifest "
-                f"(mvlpt_tpu.cli.build_manifest) or register the "
-                f"task's real classnames — counts must agree.")
+        classnames, n_classes = _resolve_classnames(
+            task, m.get("num_classes"), m.get("classnames"),
+            strict_classnames)
         splits = {}
         for split, rows in m["splits"].items():
             splits[split] = [
@@ -160,14 +196,31 @@ def load_task_manifest(root: str, task: str, train_set: str = "train",
         return TaskManifest(
             task=task,
             dataset_type=m.get("type", MULTICLASS),
-            num_classes=m.get("num_classes", n_classes),
+            num_classes=n_classes,
             train=splits.get(train_set, []),
             test=test_items,
             val=splits.get(val_set, []) if val_set else [],
+            classnames=classnames,
         )
     # ImageFolder fallback
     train_dir = os.path.join(task_dir, train_set)
     if os.path.isdir(train_dir):
+        # Folder names are natural classnames; prefer the metadata
+        # table (richer names) only when the counts actually agree.
+        folders = sorted(f.name for f in os.scandir(train_dir) if f.is_dir())
+        meta_names = load_metadata().get(task, {}).get("classes")
+        if meta_names is not None and len(folders) != len(meta_names):
+            if strict_classnames:
+                raise ValueError(
+                    f"task {task!r}: ImageFolder layout under {train_dir} "
+                    f"has {len(folders)} class folders but the metadata "
+                    f"classname table has {len(meta_names)} classes "
+                    f"(data/elevater/metadata.json) — counts must agree.")
+            classnames = folders
+        else:
+            classnames = list(meta_names) if meta_names is not None \
+                else folders
+        n_classes = len(classnames)
         test_dir = next(
             (d for c in test_candidates
              if os.path.isdir(d := os.path.join(task_dir, c))), None)
@@ -183,6 +236,7 @@ def load_task_manifest(root: str, task: str, train_set: str = "train",
             train=_load_image_folder_split(train_dir, None),
             test=_load_image_folder_split(test_dir, None) if test_dir else [],
             val=_load_image_folder_split(val_dir, None) if val_set else [],
+            classnames=classnames,
         )
     raise FileNotFoundError(
         f"No manifest.json or {train_set}/ ImageFolder for ELEVATER task "

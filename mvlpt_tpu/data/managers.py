@@ -194,17 +194,20 @@ def _metric_overrides(cfg) -> dict:
 class ElevaterDataManager:
     """Single ELEVATER task (mvlpt.py:740-770 + feature.py:538-619)."""
 
-    def __init__(self, cfg):
+    def __init__(self, cfg, strict_classnames: bool = True):
         task = cfg.DATASET.DATASET
         root = cfg.DATASET.ROOT
         man = ev.load_task_manifest(
             root, task, train_set=cfg.DATASET.TRAIN_SET,
-            val_set=cfg.DATASET.VAL_SET, test_set=cfg.DATASET.TEST_SET)
+            val_set=cfg.DATASET.VAL_SET, test_set=cfg.DATASET.TEST_SET,
+            strict_classnames=strict_classnames)
         overrides = _metric_overrides(cfg)
-        self._metric_name = overrides.get(task, ev.class_map_metric(task))
+        self._metric_name = overrides.get(task) or ev.class_map_metric(task)
         self._metric = get_metric(self._metric_name)
-        names = ev.class_map(task)
-        self._num_classes = len(names)
+        # classnames resolved by the manifest loader (manifest-declared >
+        # metadata > placeholders) so counts always agree with targets
+        names = man.classnames
+        self._num_classes = man.num_classes
         self._lab2cname = {i: ev.first_classname(c) for i, c in enumerate(names)}
 
         shots = cfg.DATASET.NUM_SAMPLES_PER_CLASS
@@ -271,14 +274,14 @@ class ElevaterMultitaskDataManager:
         self._id2task = dict(enumerate(tasks))
         overrides = _metric_overrides(cfg)
         self._metric_name = {
-            t: overrides.get(t, ev.class_map_metric(t)) for t in tasks}
+            t: overrides.get(t) or ev.class_map_metric(t) for t in tasks}
         self._metric = {t: get_metric(self._metric_name[t]) for t in tasks}
-        self._labelmap = {t: ev.class_map(t) for t in tasks}
+        self._labelmap = {t: mt.manifests[t].classnames for t in tasks}
         self._task_class_idx = mt.task_class_idx()
         self._num_classes = mt.num_classes
         self._lab2cname = {}
         for t in tasks:
-            for i, c in enumerate(ev.class_map(t)):
+            for i, c in enumerate(mt.manifests[t].classnames):
                 self._lab2cname[mt.get_cid(i, t)] = ev.first_classname(c)
 
         shots = cfg.DATASET.NUM_SAMPLES_PER_CLASS
@@ -337,12 +340,16 @@ class ElevaterMultitaskDataManager:
         return [self._lab2cname[i] for i in range(self._num_classes)]
 
 
-def build_data_manager(cfg):
+def build_data_manager(cfg, strict_classnames: bool = True):
     """Universe dispatch (mvlpt.py:892-897): DATASET.COOP ->
     CoopMultitaskDataManager, else MULTITASK -> ElevaterMultitask, else
-    single ELEVATER task."""
+    single ELEVATER task.
+
+    ``strict_classnames=False`` relaxes the single-task manifest vs
+    metadata class-count guard for flows that never consume classnames
+    (e.g. model-zoo feature extraction — see manifest._resolve_classnames)."""
     if cfg.DATASET.COOP:
         return CoopMultitaskDataManager(cfg)
     if cfg.DATASET.MULTITASK:
         return ElevaterMultitaskDataManager(cfg)
-    return ElevaterDataManager(cfg)
+    return ElevaterDataManager(cfg, strict_classnames=strict_classnames)

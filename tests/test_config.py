@@ -129,18 +129,27 @@ def test_elevater_split_keys(tmp_path):
                 _write_image(str(root / task / split / cls / f"{i}.jpg"),
                              seed=seed)
                 seed += 1
+    # the 2-folder fixture disagrees with cifar-10's 10-class metadata
+    # table: strict (the default) must refuse, non-strict uses the
+    # folder names as classnames
+    with pytest.raises(ValueError, match="2 class folders"):
+        load_task_manifest(
+            str(root), task, train_set="training", val_set="validation",
+            test_set="testing")
     man = load_task_manifest(
         str(root), task, train_set="training", val_set="validation",
-        test_set="testing")
+        test_set="testing", strict_classnames=False)
     assert len(man.train) == 8 and len(man.val) == 4 and len(man.test) == 4
+    assert man.classnames == ["a", "b"] and man.num_classes == 2
     with pytest.raises(FileNotFoundError):
-        load_task_manifest(str(root), task, train_set="nope")
+        load_task_manifest(str(root), task, train_set="nope",
+                           strict_classnames=False)
     with pytest.raises(FileNotFoundError):
         load_task_manifest(str(root), task, train_set="training",
-                           test_set="nope")
+                           test_set="nope", strict_classnames=False)
     # default layout still resolves: train/ + test/
     for split in ("train", "test"):
         _write_image(str(root / task / split / "a" / "0.jpg"), seed=seed)
         seed += 1
-    man = load_task_manifest(str(root), task)
+    man = load_task_manifest(str(root), task, strict_classnames=False)
     assert len(man.train) == 1 and len(man.test) == 1 and not man.val

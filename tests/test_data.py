@@ -102,6 +102,57 @@ def test_elevater_manifest_metadata_class_count_mismatch(cfg, tmp_path):
         ElevaterDataManager(cfg)
 
 
+def test_elevater_manifest_own_classnames_bypass_guard(cfg, tmp_path):
+    """A manifest carrying its own 'classnames' is authoritative for its
+    local data: the class-count guard must not bind even when the count
+    disagrees with the metadata table (e.g. a local 3-class debug slice
+    of cifar-10), and the manager must consume the manifest's names."""
+    make_elevater_task(tmp_path, "cifar-10", 3, n_train=6, n_test=4,
+                       classnames=["cat", "dog", "frog"])
+    cfg.DATASET.DATASET = "cifar-10"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    dm = ElevaterDataManager(cfg)
+    assert dm.num_classes == 3
+    assert dm.classnames == ["cat", "dog", "frog"]
+    batch = next(iter(dm.test_loader))
+    assert int(np.max(batch["label"])) < 3
+
+
+def test_elevater_manifest_classnames_count_must_match(cfg, tmp_path):
+    """Manifest-declared classnames must agree with its own num_classes."""
+    make_elevater_task(tmp_path, "cifar-10", 3, n_train=6, n_test=4,
+                       classnames=["cat", "dog"])
+    cfg.DATASET.DATASET = "cifar-10"
+    with pytest.raises(ValueError, match="carries 2 classnames"):
+        ElevaterDataManager(cfg)
+
+
+def test_elevater_nonstrict_placeholder_classnames(cfg, tmp_path):
+    """strict_classnames=False (feature-extraction flows that never
+    consume classnames) must load a count-mismatched manifest with
+    positional placeholder names instead of hard-failing."""
+    make_elevater_task(tmp_path, "cifar-10", 3, n_train=6, n_test=4)
+    cfg.DATASET.DATASET = "cifar-10"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    dm = ElevaterDataManager(cfg, strict_classnames=False)
+    assert dm.num_classes == 3
+    assert dm.classnames == [f"cifar-10 class {i}" for i in range(3)]
+
+
+def test_elevater_custom_task_with_own_classnames(cfg, tmp_path):
+    """A task outside the metadata registry works when its manifest is
+    self-describing (classnames) and a metric override names its metric
+    — local custom datasets need no metadata.json entry."""
+    make_elevater_task(tmp_path, "my-local-task", 2, n_train=4, n_test=4,
+                       classnames=["good", "bad"])
+    cfg.DATASET.DATASET = "my-local-task"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    cfg.DATASET.METRIC_OVERRIDES = ["my-local-task=accuracy"]
+    dm = ElevaterDataManager(cfg)
+    assert dm.num_classes == 2
+    assert dm.classnames == ["good", "bad"]
+
+
 def test_elevater_unknown_task_names_known_ones(cfg, tmp_path):
     """Tasks outside the metadata registry get an actionable KeyError
     (prompts/classnames come from the reference's prompts.py tables —

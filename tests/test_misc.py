@@ -75,8 +75,8 @@ def test_build_manifest_image_folder(tmp_path):
             d = tmp_path / split / cls
             d.mkdir(parents=True)
             Image.new("RGB", (8, 8)).save(d / "x.jpg")
-    rows, n = from_image_folder(str(tmp_path))
-    assert n == 2
+    rows, classes = from_image_folder(str(tmp_path))
+    assert classes == ["a", "b"]
     assert len(rows["train"]) == 2 and len(rows["test"]) == 2
     assert rows["train"][0][1] == [0]
 

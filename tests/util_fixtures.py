@@ -45,12 +45,14 @@ def make_coop_dataset(root, dataset_dir="oxford_pets", classes=("abyssinian", "b
 
 
 def make_elevater_task(root, task, n_classes, n_train=8, n_test=4,
-                       multilabel=False):
+                       multilabel=False, classnames=None):
     """Create <root>/<task>/manifest.json + images."""
     tdir = os.path.join(root, task)
     manifest = {"type": ("classification_multilabel" if multilabel
                          else "classification_multiclass"),
                 "num_classes": n_classes, "splits": {"train": [], "test": []}}
+    if classnames is not None:
+        manifest["classnames"] = list(classnames)
     rng = np.random.RandomState(hash(task) % 2**31)
     seed = 0
     for part, count in (("train", n_train), ("test", n_test)):
