@@ -565,7 +565,7 @@ def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
       psummed over "model" with bias+residual applied after. Head
       counts or hidden widths that don't divide tp fall back to the
       XLA block (GSPMD shards it from the declared weight specs)."""
-    from jax.experimental.shard_map import shard_map
+    from mvlpt_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
@@ -669,7 +669,7 @@ def _qkv_tp_layout(attn_p, n_heads, tp):
 
 
 def _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh):
-    from jax.experimental.shard_map import shard_map
+    from mvlpt_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
     b, s, w = x.shape
@@ -740,7 +740,7 @@ def _attn_tp_fwd(x, ln_p, attn_p, mask, n_heads, mesh):
 
 
 def _attn_tp_bwd(n_heads, mesh, res, gy):
-    from jax.experimental.shard_map import shard_map
+    from mvlpt_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
     x, ln_p, attn_p, qkvt, probs, mu, rstd = res
@@ -800,7 +800,7 @@ def mlp_block_tp(x, ln_p, mlp_p, mesh):
 
 
 def _mlp_tp_fwd(x, ln_p, mlp_p, mesh):
-    from jax.experimental.shard_map import shard_map
+    from mvlpt_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
     b, s, w = x.shape
@@ -848,7 +848,7 @@ def _mlp_tp_fwd(x, ln_p, mlp_p, mesh):
 
 
 def _mlp_tp_bwd(mesh, res, gy):
-    from jax.experimental.shard_map import shard_map
+    from mvlpt_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
     x, ln_p, mlp_p, hpre, mu, rstd = res

@@ -28,6 +28,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def shard_map(f, mesh, in_specs, out_specs, check_rep: bool = True):
+    """Version-portable shard_map (jax.experimental.shard_map was
+    deprecated in jax 0.8.0 in favor of jax.shard_map, which renamed
+    check_rep -> check_vma)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_rep=check_rep)
+
+
 def create_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
