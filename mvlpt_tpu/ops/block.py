@@ -41,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # pltpu importable only on TPU-enabled jaxlibs
@@ -527,6 +528,58 @@ def _mlp_bwd(eps, res, gy):
 mlp_block.defvjp(_mlp_fwd, _mlp_bwd)
 
 
+def _mlp_rows_group(b: int, s: int) -> int:
+    """Images merged per MLP kernel program at short sequence lengths.
+
+    The MLP half-block is purely row-wise (LN, FC, GELU, proj,
+    residual), so (b, s, w) -> (b/gr, gr*s, w) is EXACT math — it only
+    grows the matmul M (streaming) dimension from s to gr*s and cuts
+    the grid-program count by gr. Measured on v5e at ViT-B/32 (s=54):
+    8.59 -> 8.40 ms/step (MFU 0.461 -> 0.471) — a real but small win
+    (M is the MXU's streaming axis, so short M costs pipeline
+    drain/fixed overhead per program, not tile fill; BASELINE.md
+    round 4). s >= 128 (ViT-B/16's 208): gr=1, unchanged."""
+    gr = 1
+    for cand in (2, 4, 8):
+        if b % cand or gr * s >= 128:
+            break
+        gr = cand
+    return gr
+
+
+def _attn_rows_group(b: int, s: int) -> int:
+    """Images merged per attention kernel program at short sequence
+    lengths, via a block-diagonal additive mask.
+
+    EXACT math: the mask adds -1e9 to every cross-image logit, and fp32
+    ``exp(-1e9 - max)`` is exactly 0.0, so each softmax row renormalizes
+    over its own image only; the saved probabilities carry those exact
+    zeros, which makes the backward kernel block-exact automatically
+    (dv/dq/dk cross-image contributions multiply by p == 0).
+
+    Unlike the MLP merge this is not free — the per-head score/context
+    matmuls and the softmax do gr x the work ((gr*s)^2 vs gr * s^2
+    logits) — but at s < 128 every per-head contraction runs with lane
+    dimension s (under half a 128-lane MXU tile); ``gr*s <= 128``
+    bounds the waste at one output tile while doubling the fill.
+    Measured on v5e at ViT-B/32 (s=54, gr=2): see BASELINE.md round 4.
+    s >= 128 (ViT-B/16's 208): gr=1, unchanged."""
+    if s >= 128:
+        return 1
+    gr = 1
+    for cand in (2, 4):
+        if b % cand or cand * s > 128:
+            break
+        gr = cand
+    return gr
+
+
+def _block_diag_mask(gr: int, s: int):
+    idx = np.arange(gr * s) // s
+    return jnp.asarray(
+        np.where(idx[:, None] == idx[None, :], 0.0, -1e9), jnp.float32)
+
+
 def fused_residual_block(x, p, n_heads, mask=None):
     """Drop-in residual_block using the fused half-block kernels.
 
@@ -536,7 +589,18 @@ def fused_residual_block(x, p, n_heads, mask=None):
     ms/step on the flagship — the doubled per-program VMEM footprint
     (both halves' weights + residuals resident) costs Mosaic more
     pipelining overlap than the saved traffic buys."""
-    x = attn_block(x, p["ln_1"], p["attn"], mask, n_heads)
+    b, s, w = x.shape
+    ga = _attn_rows_group(b, s) if mask is None else 1
+    if ga > 1:
+        xg = x.reshape(b // ga, ga * s, w)
+        x = attn_block(xg, p["ln_1"], p["attn"], _block_diag_mask(ga, s),
+                       n_heads).reshape(b, s, w)
+    else:
+        x = attn_block(x, p["ln_1"], p["attn"], mask, n_heads)
+    gr = _mlp_rows_group(b, s)
+    if gr > 1:
+        y = mlp_block(x.reshape(b // gr, gr * s, w), p["ln_2"], p["mlp"])
+        return y.reshape(b, s, w)
     return mlp_block(x, p["ln_2"], p["mlp"])
 
 

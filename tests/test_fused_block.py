@@ -78,6 +78,40 @@ def test_fused_prompt_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=5e-6)
 
 
+def test_attn_rows_grouping_exact():
+    """Block-diagonal grouped attention (engages at s < 128, mask-free):
+    grouped kernel == per-image kernel, fwd and grad — the -1e9 mask
+    zeroes cross-image probabilities EXACTLY (fp32 exp underflow), so
+    this is equality math, not approximation. Also pins the picker's
+    gr*s <= 128 bound and divisibility gate."""
+    assert bops._attn_rows_group(32, 54) == 2    # ViT-B/32: 2*54 <= 128
+    assert bops._attn_rows_group(32, 208) == 1   # ViT-B/16: no grouping
+    assert bops._attn_rows_group(32, 30) == 4
+    assert bops._attn_rows_group(3, 54) == 1     # b % gr != 0
+
+    rng = np.random.RandomState(4)
+    b, s, w, h = 4, 9, 32, 4
+    x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+    p = _params(rng, w)
+    gr = bops._attn_rows_group(b, s)
+    assert gr == 4
+
+    def per_image(xi):
+        return bops.attn_block(xi, p["ln_1"], p["attn"], None, h)
+
+    def grouped(xi):
+        m = bops._block_diag_mask(gr, s)
+        y = bops.attn_block(xi.reshape(b // gr, gr * s, w),
+                            p["ln_1"], p["attn"], m, h)
+        return y.reshape(b, s, w)
+
+    np.testing.assert_allclose(np.asarray(grouped(x)),
+                               np.asarray(per_image(x)), atol=2e-6)
+    ga = jax.grad(lambda xi: jnp.sum(per_image(xi) ** 2))(x)
+    gb = jax.grad(lambda xi: jnp.sum(grouped(xi) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), atol=5e-6)
+
+
 def test_fused_marker_routes_residual_block():
     rng = np.random.RandomState(3)
     b, s, w, h = 2, 9, 32, 4
