@@ -93,15 +93,39 @@ class _ZeroshotBase:
         self.text_features = encode_class_text_features(
             self.backbone, self.clip_cfg, classnames, self.templates(classnames))
 
+        from mvlpt_tpu.core.resnet import RNConfig
         from mvlpt_tpu.data.transforms import device_normalize
+        from mvlpt_tpu.ops import select_attn_fn
 
         mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
+        is_vit = not isinstance(self.clip_cfg, RNConfig)
+        # same kernel selection as the trainer (fused residual-block
+        # Pallas kernels on a single TPU device under 'auto')
+        attn_fn = select_attn_fn(cfg.TPU.USE_PALLAS) if is_vit else None
 
         @jax.jit
         def infer(backbone, text_features, images):
-            # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
-            images = device_normalize(images, mean, std)
-            img = clip_core.encode_image(backbone, images, self.clip_cfg)
+            if is_vit and images.dtype == jnp.uint8:
+                # uint8 fast path: fold the CLIP normalization affine
+                # into the frozen patch-embed matmul (vit.embed_image)
+                # instead of a separate full-image pass — same trick the
+                # train step uses (bench.py measures zs_eval_img_s
+                # through this path)
+                from mvlpt_tpu.core import vit as vit_mod
+
+                tokens = vit_mod.embed_image(
+                    backbone["visual"], images,
+                    patch_size=self.clip_cfg.vision_patch_size,
+                    normalize=(mean, std))
+                img = clip_core.encode_image(
+                    backbone, tokens, self.clip_cfg, pre_embedded=True,
+                    attn_fn=attn_fn)
+            else:
+                # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
+                images = device_normalize(images, mean, std)
+                img = clip_core.encode_image(backbone, images, self.clip_cfg,
+                                             **({"attn_fn": attn_fn}
+                                                if is_vit else {}))
             img = img.astype(jnp.float32)
             img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
             scale = jnp.exp(backbone["logit_scale"].astype(jnp.float32))

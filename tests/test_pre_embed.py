@@ -75,6 +75,28 @@ def test_uint8_normalize_fold_matches_host_normalize():
                                rtol=0, atol=1e-4)
 
 
+def test_zeroshot_uint8_fast_path_matches_normalize_path():
+    """models/zsclip.py's uint8 infer branch (normalize folded into the
+    patch embed + pre-embedded tokens) == device_normalize + plain
+    encode_image, the branch float batches take."""
+    from mvlpt_tpu.core import clip as clip_core
+    from mvlpt_tpu.data.transforms import device_normalize
+
+    model, backbone, _, _ = _tiny()
+    cfg = model.clip_cfg
+    u8 = jnp.asarray(np.random.RandomState(7).randint(
+        0, 256, (4, 32, 32, 3)).astype(np.uint8))
+    norm = (CLIP_PIXEL_MEAN, CLIP_PIXEL_STD)
+
+    tokens = vit_mod.embed_image(
+        backbone["visual"], u8, cfg.vision_patch_size, normalize=norm)
+    fast = clip_core.encode_image(backbone, tokens, cfg, pre_embedded=True)
+    plain = clip_core.encode_image(
+        backbone, device_normalize(u8, *norm), cfg)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_multi_step_pre_embed_matches_plain_multi():
     """make_train_step_multi(pre_embed=True, normalize=...) from uint8
     == the plain multi-step fed host-normalized fp32 images."""
