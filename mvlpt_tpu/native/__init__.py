@@ -173,7 +173,17 @@ def decode_jpeg_scaled(data: bytes, num: int) -> np.ndarray | None:
     fast path behind DATALOADER.NATIVE_FAST_JPEG. Roughly (num/8)^2 the
     IDCT work of a full decode; output pixels are libjpeg's scaled IDCT,
     not identical to full-decode-then-resample. Returns the (h', w', 3)
-    uint8 array or None (caller falls back to the exact path)."""
+    uint8 array or None (caller falls back to the exact path).
+
+    Measured accuracy impact (tests/test_native_pipe.py::
+    test_fast_jpeg_feature_and_logit_delta, photo-like 1024x768 q90
+    JPEGs downscaled to a small eval size): pixel MAE ~1.0/255 eval /
+    ~0.5/255 train-crop, ViT feature cosine >= 0.99999, max |logit
+    delta| ~0.09 at logit scale 100, argmax unchanged. Safe for
+    training and routine eval (the augmentation RNG stream is identical
+    — crops are drawn in original pixel coordinates); turn it off when
+    bit-parity with the PIL pipeline is itself the requirement (golden
+    regression runs, cross-backend A/B)."""
     lib = _load()
     w = ctypes.c_int32()
     h = ctypes.c_int32()

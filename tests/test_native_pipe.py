@@ -329,3 +329,57 @@ def test_native_backend_fails_loudly_when_unavailable(monkeypatch):
     cfg.DATALOADER.BACKEND = "native"
     with pytest.raises(RuntimeError, match="native"):
         build_transform(cfg, is_train=False)
+
+
+def test_fast_jpeg_feature_and_logit_delta():
+    """Quantify NATIVE_FAST_JPEG's effect where it matters — features
+    and logits, not pixels (VERDICT r3 item 8). Photo-like large JPEGs
+    through a ViT tower, exact vs DCT-scaled decode: feature cosine
+    similarity must stay >0.995 and the logit argmax unchanged.
+    Measured here (random-weight tiny tower, 6 photo-like 1024x768
+    JPEGs): eval pixel MAE ~1.0/255 (train-crop ~0.5/255), feature
+    cosine >=0.99999, max |logit delta| 0.09 at logit scale 100 —
+    recorded in native/__init__.py:decode_jpeg_scaled."""
+    import jax.numpy as jnp
+
+    import jax
+    from mvlpt_tpu.core import clip as clip_core
+    from mvlpt_tpu.core.clip import CLIPConfig, init_clip_params
+
+    clip_cfg = CLIPConfig(
+        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
+        vision_patch_size=8, transformer_width=64, transformer_heads=2,
+        transformer_layers=2, vision_heads_override=2)
+    backbone = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
+    text = np.random.default_rng(1).normal(size=(8, 32)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+
+    exact_t = NativeEvalTransform(size=32)
+    fast_t = NativeEvalTransform(size=32, fast_jpeg=True)
+
+    def feats(arrs):
+        x = jnp.asarray(np.stack(arrs))  # transforms emit (H, W, 3)
+        f = np.asarray(clip_core.encode_image(backbone, x, clip_cfg),
+                       np.float32)
+        return f / np.linalg.norm(f, axis=-1, keepdims=True)
+
+    rng = np.random.default_rng(5)
+    datas = []
+    for i in range(6):
+        # photo-like content: smooth gradients + texture (pure noise is
+        # the worst case for DCT truncation and unrepresentative)
+        yy, xx = np.mgrid[0:768, 0:1024]
+        base = (np.stack([np.sin(yy / 97.0 + i), np.cos(xx / 61.0),
+                          np.sin((xx + yy) / 151.0)], -1) + 1) * 110
+        img = np.clip(base + rng.normal(0, 12, base.shape), 0,
+                      255).astype(np.uint8)
+        datas.append(_encode(img, "JPEG", quality=90))
+
+    f_exact = feats([exact_t(d) for d in datas])
+    f_fast = feats([fast_t(d) for d in datas])
+    cos = (f_exact * f_fast).sum(-1)
+    assert cos.min() > 0.995, cos
+    logit_delta = np.abs(100.0 * (f_exact - f_fast) @ text.T)
+    assert (np.argmax(f_exact @ text.T, -1)
+            == np.argmax(f_fast @ text.T, -1)).all()
+    assert logit_delta.max() < 1.0, logit_delta.max()
