@@ -8,7 +8,7 @@ tower with CUT_CONTEXTLEN, full forward-backward + SGD update per step.
 What is measured, and how honestly:
 
 * **Steady-state step throughput** — the trainer's windowed-dispatch
-  path (TRAIN.STEPS_PER_DISPATCH): a K=120-batch uint8 window staged
+  path (TRAIN.STEPS_PER_DISPATCH): a W-batch uint8 window staged
   per dispatch (8 unique batches tiled on device — see the staging
   comment in main()), stem pre-embedded outside the scan, CLIP normalization
   folded into the frozen patch-embed matmul, per-dispatch weight prep
@@ -36,6 +36,13 @@ What is measured, and how honestly:
   (mvlpt_tpu/utils/flops.py; the axon backend does not populate
   ``cost_analysis()`` usefully) against the v5e bf16 peak
   (~197 TFLOP/s), over measured wall time per step.
+* **Eval throughput** (``eval_img_s``) — trainer.test()'s fast path:
+  text features cached once per split (make_cached_text_eval) +
+  image-tower-only eval steps at the reference TEST batch 100
+  (vit_b16.yaml), dispatched pipelined (async, fence at the end) the
+  way train/trainer.py:test() issues them. ``zs_eval_img_s`` is the
+  zero-shot config (plain CLIP, precomputed class text features,
+  zsclip.py:34-60 semantics) at the same batch.
 
 The reference never measured throughput (SURVEY.md §6); BASELINE.json
 sets the target at >=5x A100-PyTorch per-chip. ``vs_baseline`` is
@@ -53,8 +60,14 @@ A100_PYTORCH_EST_IMG_S = 340.0  # see BASELINE.md "Throughput baseline"
 V5E_BF16_PEAK_FLOPS = 197e12    # per chip
 BATCH = 32
 N_CLS = 100
-WINDOW = 120    # steps per dispatch (TRAIN.STEPS_PER_DISPATCH)
-ROUNDS = 2      # timed dispatches -> WINDOW * ROUNDS measured steps
+# Product-config window (TRAIN.STEPS_PER_DISPATCH default, the value
+# vit_b16_tpu_fast.yaml ships): the headline is the shipped config, not
+# a tuning extreme (W=120 saves a further ~0.2 ms/step but needs
+# 3840-sample epochs to fill a window — recorded in BASELINE.md).
+WINDOW = 60
+ROUNDS = 4      # timed dispatches -> WINDOW * ROUNDS measured steps
+EVAL_BATCH = 100   # reference TEST batch (vit_b16.yaml)
+EVAL_STEPS = 50    # timed eval dispatches (short runs are tunnel-jittery)
 
 
 def main():
@@ -135,6 +148,64 @@ def main():
     flops_per_step = flagship_step_flops(batch=BATCH, n_cls=N_CLS)
     mfu = flops_per_step / (step_ms / 1e3) / V5E_BF16_PEAK_FLOPS
 
+    # ---- eval path: cached-text fast path at the reference TEST batch
+    # (100), pipelined dispatch (async, one fence at the end) — exactly
+    # what trainer.test() runs. Plus the zero-shot config. ----
+    from mvlpt_tpu.train.train_step import make_cached_text_eval
+
+    text_fn, eval_fn = make_cached_text_eval(
+        model, normalize=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD))
+    text_features = text_fn(backbone, state.prompt_params, consts)
+    EVAL_UNIQUE = 4
+    eval_u8 = jnp.asarray(rng_np.randint(
+        0, 256, (EVAL_UNIQUE, EVAL_BATCH, 224, 224, 3)).astype(np.uint8))
+    eval_batches = [{"image": eval_u8[i % EVAL_UNIQUE]}
+                    for i in range(EVAL_STEPS)]
+    logits = eval_fn(backbone, state.prompt_params, text_features,
+                     eval_batches[0])  # compile
+    sync(logits[0, 0])
+    t0 = time.perf_counter()
+    outs = [eval_fn(backbone, state.prompt_params, text_features, b)
+            for b in eval_batches]
+    sync(sum(o[0, 0] for o in outs))  # fence the pipelined chain
+    dt_eval = time.perf_counter() - t0
+    eval_img_s = EVAL_STEPS * EVAL_BATCH / dt_eval
+    eval_ms = dt_eval / EVAL_STEPS * 1e3
+
+    # zero-shot config: plain CLIP image tower + precomputed class text
+    # features — the models/zsclip.py uint8 fast path (normalization
+    # folded into the frozen patch-embed matmul, pre-embedded tokens)
+    from mvlpt_tpu.core import clip as clip_core
+    from mvlpt_tpu.core import vit as vit_mod
+
+    zs_text = text_features / jnp.linalg.norm(
+        text_features, axis=-1, keepdims=True)
+
+    from mvlpt_tpu.ops import select_attn_fn
+
+    zs_attn_fn = select_attn_fn("auto")
+
+    @jax.jit
+    def zs_eval(backbone, text, batch):
+        tokens = vit_mod.embed_image(
+            backbone["visual"], batch["image"],
+            patch_size=model.clip_cfg.vision_patch_size,
+            normalize=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD))
+        feats = clip_core.encode_image(
+            backbone, tokens, model.clip_cfg, pre_embedded=True,
+            attn_fn=zs_attn_fn)
+        feats = feats.astype(jnp.float32)
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return 100.0 * feats @ text.T.astype(jnp.float32)
+
+    logits = zs_eval(backbone, zs_text, eval_batches[0])  # compile
+    sync(logits[0, 0])
+    t0 = time.perf_counter()
+    outs = [zs_eval(backbone, zs_text, b) for b in eval_batches]
+    sync(sum(o[0, 0] for o in outs))
+    dt_zs = time.perf_counter() - t0
+    zs_img_s = EVAL_STEPS * EVAL_BATCH / dt_zs
+
     # ---- H2D: tunnel bandwidth + compute/transfer overlap. Secondary
     # diagnostics: never let a flaky tunnel transfer sink the headline ----
     try:
@@ -181,6 +252,9 @@ def main():
     }
     out["mfu"] = round(mfu, 4)
     out["flops_per_step"] = int(flops_per_step)
+    out["eval_img_s"] = round(eval_img_s, 1)
+    out["eval_ms_batch100"] = round(eval_ms, 3)
+    out["zs_eval_img_s"] = round(zs_img_s, 1)
     print(json.dumps(out))
 
 
