@@ -126,7 +126,7 @@ def _run_ours(model, backbone, prompt_params, consts, imgs, labels, tasks,
     return losses, state.prompt_params
 
 
-TRAJECTORY_MODES = ["coop_end", "coop_middle", "vpt_deep", "upt"]
+TRAJECTORY_MODES = ["coop_end", "coop_middle", "vpt_deep", "upt", "cocoop"]
 
 
 @pytest.mark.parametrize("mode", TRAJECTORY_MODES)
