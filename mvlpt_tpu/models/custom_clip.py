@@ -156,11 +156,18 @@ class MVLPTModel:
         tasks: jax.Array | None = None,
         task_ranges: TaskClassRanges | None = None,
         pre_embedded: bool = False,
+        rng: jax.Array | None = None,
     ) -> jax.Array:
-        """Forward with precomputed text features (eval fast path)."""
+        """Forward with precomputed text features.
+
+        Two callers: the eval fast path (rng=None), and the TRAINING
+        fast path for text-static specs (pure VPT: no CoOp ctx, no
+        CoCoOp, no coupler — the text tower output does not depend on
+        any trained parameter, so the train step hoists it out of the
+        windowed scan; ``rng`` keeps VPT dropout live there)."""
         _, vpt_sh, vpt_dp = upt_couple(prompt_params, self.spec)
         image_features = self.encode_image(
-            backbone, prompt_params, images, None, vpt_sh, vpt_dp,
+            backbone, prompt_params, images, rng, vpt_sh, vpt_dp,
             pre_embedded=pre_embedded)
         logits = clip_core.clip_logits(
             image_features, text_features, backbone["logit_scale"])

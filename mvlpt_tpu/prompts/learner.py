@@ -69,6 +69,16 @@ class PromptSpec:
         return self.cocoop_n_ctx > 0
 
     @property
+    def text_is_static(self) -> bool:
+        """True when the text tower output depends on no trained
+        parameter (pure VPT: no CoOp ctx, no CoCoOp image conditioning,
+        no UPT coupler) — callers may compute text features ONCE per
+        prompt state, including across a whole training run
+        (mvlpt.py:540-582 recomputes the text tower every step; for
+        MVPT that is loop-invariant work)."""
+        return not (self.has_coop or self.has_cocoop or self.has_coupler)
+
+    @property
     def has_coupler(self) -> bool:
         return (
             self.has_coop and self.has_vpt and self.project_method != "identity"

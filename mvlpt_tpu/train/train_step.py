@@ -147,11 +147,18 @@ def make_train_step_multi(
     staging halves H2D bytes vs bf16 and the normalize costs nothing.
     """
 
-    def loss_fn(prompt_params, backbone, consts, batch, rng):
-        logits = model(
-            backbone, prompt_params, consts, batch["image"],
-            tasks=batch.get("task"), task_ranges=task_ranges, rng=rng,
-            pre_embedded=pre_embed)
+    def loss_fn(prompt_params, backbone, consts, batch, rng,
+                text_features=None):
+        if text_features is not None:
+            logits = model.forward_with_text(
+                backbone, prompt_params, batch["image"], text_features,
+                tasks=batch.get("task"), task_ranges=task_ranges,
+                pre_embedded=pre_embed, rng=rng)
+        else:
+            logits = model(
+                backbone, prompt_params, consts, batch["image"],
+                tasks=batch.get("task"), task_ranges=task_ranges, rng=rng,
+                pre_embedded=pre_embed)
         return soft_cross_entropy(logits, batch["label"]), logits
 
     def multi_fn(state: TrainState, backbone, consts, batches, rng):
@@ -159,6 +166,18 @@ def make_train_step_multi(
         # transposes) out of the K-step scan — measured ~0.56 ms/step
         # of unhoisted re-slicing otherwise (v5e xplane)
         backbone = model.prepare_backbone(backbone)
+        # pure-VPT specs: the text tower output depends on no trained
+        # parameter (PromptSpec.text_is_static), so run the 12-layer
+        # text tower ONCE per dispatch instead of every scan step —
+        # exact math (d text / d params = 0). Measured perf-neutral on
+        # v5e (16.37 ms/step either way, MVPT B/16 100-cls): with zero
+        # carry dependence XLA's loop-invariant code motion already
+        # hoists it (unlike the weight-prep case above, which it does
+        # NOT hoist) — kept explicit so the guarantee doesn't ride on
+        # LICM, mirroring the eval fast path (make_cached_text_eval).
+        text_features = (
+            model.compute_text_features(backbone, state.prompt_params, consts)
+            if model.spec.text_is_static else None)
         imgs = batches["image"]
         if pre_embed:
             norm = normalize if imgs.dtype == jnp.uint8 else None
@@ -178,7 +197,8 @@ def make_train_step_multi(
             batch, i = xs
             step_rng = jax.random.fold_in(rng, i)
             (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.prompt_params, backbone, consts, batch, step_rng)
+                state.prompt_params, backbone, consts, batch, step_rng,
+                text_features)
             updates, opt_state = tx.update(
                 grads, state.opt_state, state.prompt_params)
             prompt_params = optax.apply_updates(state.prompt_params, updates)

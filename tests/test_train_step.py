@@ -166,6 +166,42 @@ def test_spmd_step_on_8_device_mesh():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6)
 
 
+def test_vpt_only_windowed_hoists_static_text_exactly():
+    """Pure-VPT specs (PromptSpec.text_is_static) hoist the text tower
+    out of the windowed scan (make_train_step_multi computes it once
+    per dispatch); the math must stay EXACTLY the per-step path's —
+    d(text)/d(params) = 0, so hoisting changes no gradient."""
+    backbone, spec, pp, consts, model = tiny_setup(coop=0, vpt=2)
+    assert spec.text_is_static and not spec.has_coupler
+    cfg = get_cfg_default()
+    tx, _ = build_optimizer(cfg.OPTIM, steps_per_epoch=4)
+    from mvlpt_tpu.train.train_step import make_train_step_multi
+
+    rng_np = np.random.RandomState(3)
+    K = 4
+    imgs = rng_np.randn(K, 2, 16, 16, 3).astype(np.float32)
+    labels = rng_np.randint(0, 4, (K, 2))
+    key = jax.random.PRNGKey(5)
+
+    single = make_train_step(model, tx, donate=False)  # full per-step text
+    s1 = init_train_state(pp, tx)
+    for i in range(K):
+        s1, _ = single(s1, backbone, consts,
+                       {"image": jnp.asarray(imgs[i]),
+                        "label": jnp.asarray(labels[i])},
+                       jax.random.fold_in(key, i))
+
+    multi = make_train_step_multi(model, tx, donate=False)  # hoisted text
+    s2 = init_train_state(jax.tree_util.tree_map(jnp.array, pp), tx)
+    s2, mstack = multi(s2, backbone, consts,
+                       {"image": jnp.asarray(imgs),
+                        "label": jnp.asarray(labels)}, key)
+    assert mstack["loss"].shape == (K,)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.prompt_params),
+                    jax.tree_util.tree_leaves(s2.prompt_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_windowed_epoch_matches_single_dispatch_math():
     """TRAIN.STEPS_PER_DISPATCH > 1 stages loader batches through ONE
     jitted scan; optimizer math must match the per-batch path (the
