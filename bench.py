@@ -172,36 +172,20 @@ def main():
     eval_img_s = EVAL_STEPS * EVAL_BATCH / dt_eval
     eval_ms = dt_eval / EVAL_STEPS * 1e3
 
-    # zero-shot config: plain CLIP image tower + precomputed class text
-    # features — the models/zsclip.py uint8 fast path (normalization
-    # folded into the frozen patch-embed matmul, pre-embedded tokens)
-    from mvlpt_tpu.core import clip as clip_core
-    from mvlpt_tpu.core import vit as vit_mod
+    # zero-shot config: THE shipped inferencer (models/zsclip.py
+    # make_zs_infer — the uint8 fast path with normalization folded
+    # into the frozen patch-embed matmul), so this number can't drift
+    # from what models/zsclip.py actually runs
+    from mvlpt_tpu.models.zsclip import make_zs_infer
 
     zs_text = text_features / jnp.linalg.norm(
         text_features, axis=-1, keepdims=True)
+    zs_eval = make_zs_infer(model.clip_cfg, CLIP_PIXEL_MEAN, CLIP_PIXEL_STD)
 
-    from mvlpt_tpu.ops import select_attn_fn
-
-    zs_attn_fn = select_attn_fn("auto")
-
-    @jax.jit
-    def zs_eval(backbone, text, batch):
-        tokens = vit_mod.embed_image(
-            backbone["visual"], batch["image"],
-            patch_size=model.clip_cfg.vision_patch_size,
-            normalize=(CLIP_PIXEL_MEAN, CLIP_PIXEL_STD))
-        feats = clip_core.encode_image(
-            backbone, tokens, model.clip_cfg, pre_embedded=True,
-            attn_fn=zs_attn_fn)
-        feats = feats.astype(jnp.float32)
-        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return 100.0 * feats @ text.T.astype(jnp.float32)
-
-    logits = zs_eval(backbone, zs_text, eval_batches[0])  # compile
+    logits = zs_eval(backbone, zs_text, eval_batches[0]["image"])  # compile
     sync(logits[0, 0])
     t0 = time.perf_counter()
-    outs = [zs_eval(backbone, zs_text, b) for b in eval_batches]
+    outs = [zs_eval(backbone, zs_text, b["image"]) for b in eval_batches]
     sync(sum(o[0, 0] for o in outs))
     dt_zs = time.perf_counter() - t0
     zs_img_s = EVAL_STEPS * EVAL_BATCH / dt_zs

@@ -201,6 +201,17 @@ def cli():
         # self-describing so the loader's class-count guard doesn't bind
         # (manifest classnames are authoritative, docs/DATASETS.md).
         own_classnames = folder_classes
+    elif args.task not in load_metadata():
+        # Index-TSV source (no class folders to name from) for a task
+        # metadata.json doesn't know: the manifest gets num_classes
+        # only. Feature-extraction flows (strict_classnames=False) load
+        # it as-is; prompt/label flows will refuse with instructions
+        # until real classnames are added — say so NOW, at build time.
+        print(f"WARNING: task {args.task!r} is not in metadata.json and "
+              f"a TSV source carries no class names — wrote num_classes "
+              f"only. Prompt flows need a 'classnames' list added to "
+              f"{os.path.join(args.root, args.task, 'manifest.json')}; "
+              f"feature extraction works as-is.")
 
     task_dir = os.path.join(args.root, args.task)
     os.makedirs(task_dir, exist_ok=True)

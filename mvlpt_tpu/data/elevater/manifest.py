@@ -140,7 +140,22 @@ def _resolve_classnames(task: str, declared: int | None, own,
                 f"num_classes={declared} but carries "
                 f"{len(own)} classnames — counts must agree.")
         return list(own), len(own)
-    meta_names = class_map(task)
+    try:
+        meta_names = class_map(task)
+    except KeyError:
+        if declared is None:
+            raise  # nothing to fall back on: no own names, no count
+        if strict:
+            raise ValueError(
+                f"task {task!r}: not in data/elevater/metadata.json and "
+                f"the manifest carries no 'classnames' — prompt/label "
+                f"flows need a real classname table. Add a 'classnames' "
+                f"list to the manifest (authoritative for local data) or "
+                f"register the task in metadata.json. Flows that never "
+                f"read classnames (feature extraction) load with "
+                f"strict_classnames=False and get positional "
+                f"placeholders.") from None
+        return [f"{task} class {i}" for i in range(declared)], declared
     if declared is not None and declared != len(meta_names):
         if strict:
             raise ValueError(

@@ -75,6 +75,51 @@ def encode_class_text_features(backbone, clip_cfg, classnames, templates,
     return mean_features / jnp.linalg.norm(mean_features, axis=-1, keepdims=True)
 
 
+def make_zs_infer(clip_cfg, mean, std, use_pallas="auto"):
+    """Jitted zero-shot ``infer(backbone, text_features, images) ->
+    logits`` — THE shipped zero-shot compute path (bench.py measures
+    zs_eval_img_s through this same builder so the number can't drift
+    from what ships).
+
+    ViT + uint8 batches take the fast path: the CLIP normalization
+    affine folds into the frozen patch-embed matmul (vit.embed_image)
+    instead of a separate full-image pass — the same trick the train
+    step uses — then the fused kernels run the tower (same
+    TPU.USE_PALLAS selection as the trainer). ResNet and float inputs
+    keep the plain device_normalize + encode_image path."""
+    from mvlpt_tpu.core.resnet import RNConfig
+    from mvlpt_tpu.data.transforms import device_normalize
+    from mvlpt_tpu.ops import select_attn_fn
+
+    mean, std = tuple(mean), tuple(std)
+    is_vit = not isinstance(clip_cfg, RNConfig)
+    attn_fn = select_attn_fn(use_pallas) if is_vit else None
+
+    @jax.jit
+    def infer(backbone, text_features, images):
+        if is_vit and images.dtype == jnp.uint8:
+            from mvlpt_tpu.core import vit as vit_mod
+
+            tokens = vit_mod.embed_image(
+                backbone["visual"], images,
+                patch_size=clip_cfg.vision_patch_size,
+                normalize=(mean, std))
+            img = clip_core.encode_image(
+                backbone, tokens, clip_cfg, pre_embedded=True,
+                attn_fn=attn_fn)
+        else:
+            # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
+            images = device_normalize(images, mean, std)
+            kw = {"attn_fn": attn_fn} if is_vit else {}
+            img = clip_core.encode_image(backbone, images, clip_cfg, **kw)
+        img = img.astype(jnp.float32)
+        img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+        scale = jnp.exp(backbone["logit_scale"].astype(jnp.float32))
+        return scale * img @ text_features.T
+
+    return infer
+
+
 class _ZeroshotBase:
     def __init__(self, cfg):
         from mvlpt_tpu.data.managers import build_data_manager
@@ -92,46 +137,9 @@ class _ZeroshotBase:
             classnames = list(self.dm.lab2cname.values())
         self.text_features = encode_class_text_features(
             self.backbone, self.clip_cfg, classnames, self.templates(classnames))
-
-        from mvlpt_tpu.core.resnet import RNConfig
-        from mvlpt_tpu.data.transforms import device_normalize
-        from mvlpt_tpu.ops import select_attn_fn
-
-        mean, std = tuple(cfg.INPUT.PIXEL_MEAN), tuple(cfg.INPUT.PIXEL_STD)
-        is_vit = not isinstance(self.clip_cfg, RNConfig)
-        # same kernel selection as the trainer (fused residual-block
-        # Pallas kernels on a single TPU device under 'auto')
-        attn_fn = select_attn_fn(cfg.TPU.USE_PALLAS) if is_vit else None
-
-        @jax.jit
-        def infer(backbone, text_features, images):
-            if is_vit and images.dtype == jnp.uint8:
-                # uint8 fast path: fold the CLIP normalization affine
-                # into the frozen patch-embed matmul (vit.embed_image)
-                # instead of a separate full-image pass — same trick the
-                # train step uses (bench.py measures zs_eval_img_s
-                # through this path)
-                from mvlpt_tpu.core import vit as vit_mod
-
-                tokens = vit_mod.embed_image(
-                    backbone["visual"], images,
-                    patch_size=self.clip_cfg.vision_patch_size,
-                    normalize=(mean, std))
-                img = clip_core.encode_image(
-                    backbone, tokens, self.clip_cfg, pre_embedded=True,
-                    attn_fn=attn_fn)
-            else:
-                # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
-                images = device_normalize(images, mean, std)
-                img = clip_core.encode_image(backbone, images, self.clip_cfg,
-                                             **({"attn_fn": attn_fn}
-                                                if is_vit else {}))
-            img = img.astype(jnp.float32)
-            img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-            scale = jnp.exp(backbone["logit_scale"].astype(jnp.float32))
-            return scale * img @ text_features.T
-
-        self._infer = infer
+        self._infer = make_zs_infer(
+            self.clip_cfg, cfg.INPUT.PIXEL_MEAN, cfg.INPUT.PIXEL_STD,
+            use_pallas=cfg.TPU.USE_PALLAS)
 
     def templates(self, classnames) -> list[str]:
         raise NotImplementedError

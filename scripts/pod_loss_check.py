@@ -19,37 +19,15 @@ Usage:
 """
 
 import argparse
+import pathlib
+import sys
 
 import numpy as np
 
-
-def _tiny_flagship(n_cls, compute_dtype):
-    import jax
-    import jax.numpy as jnp
-
-    from mvlpt_tpu.core.clip import CLIPConfig, init_clip_params
-    from mvlpt_tpu.models.custom_clip import MVLPTModel
-    from mvlpt_tpu.prompts import (
-        PromptSpec, build_prompt_consts, init_prompt_params)
-
-    clip_cfg = CLIPConfig(
-        embed_dim=32, image_resolution=32, vision_layers=2, vision_width=64,
-        vision_patch_size=8, transformer_width=64, transformer_heads=2,
-        transformer_layers=2, vision_heads_override=2)
-    backbone = init_clip_params(jax.random.PRNGKey(0), clip_cfg)
-    classnames = [f"c{i}" for i in range(n_cls)]
-    spec = PromptSpec(
-        n_cls=n_cls, coop_n_ctx=2, vpt_n_ctx=2, vpt_deep=True,
-        class_token_position="middle", project_method="transformer",
-        project_dim=16, context_length=8,
-        vision_layers=2, vision_width=64, text_width=64, embed_dim=32,
-        vision_patch_size=8)
-    prompt_params = init_prompt_params(jax.random.PRNGKey(1), spec)
-    consts = build_prompt_consts(classnames, spec, backbone, compute_dtype)
-    model = MVLPTModel(clip_cfg=clip_cfg, spec=spec,
-                       compute_dtype=compute_dtype)
-    res = clip_cfg.image_resolution
-    return model, backbone, prompt_params, consts, res
+# __graft_entry__ lives at the repo root (this script shares its tiny
+# rehearsal towers and the b16 flagship so the runbook phases validate
+# the SAME shapes dryrun_multichip does)
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def _run(model, backbone, prompt_params, consts, batches, mesh=None,
@@ -112,10 +90,11 @@ def main():
 
     import jax
 
-    if args.backbone == "tiny" and len(jax.devices()) < n_data * n_model:
+    if len(jax.devices()) < n_data * n_model:
         raise SystemExit(
-            f"need {n_data * n_model} devices; for a CI rehearsal run "
-            f"with XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"need {n_data * n_model} devices, have {len(jax.devices())}; "
+            f"for a CI rehearsal run with "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count="
             f"{n_data * n_model} and JAX_PLATFORMS=cpu (tests/conftest.py "
             f"does this)")
 
@@ -124,12 +103,14 @@ def main():
     from mvlpt_tpu.parallel import create_mesh
 
     if args.backbone == "tiny":
+        from __graft_entry__ import _tiny_flagship
+
         n_cls = 8
-        model, backbone, pp, consts, res = _tiny_flagship(n_cls, jnp.float32)
+        model, backbone, pp, consts, tiny_cfg = _tiny_flagship(
+            n_cls, jnp.float32)
+        res = tiny_cfg.image_resolution
         batch_n = args.batch if args.batch > 0 else n_data * 2
     else:
-        import sys
-        sys.path.insert(0, ".")
         from __graft_entry__ import _flagship
 
         n_cls = 100

@@ -153,6 +153,31 @@ def test_elevater_custom_task_with_own_classnames(cfg, tmp_path):
     assert dm.classnames == ["good", "bad"]
 
 
+def test_elevater_unknown_task_nonstrict_gets_placeholders(cfg, tmp_path):
+    """A task outside the metadata registry whose manifest carries only
+    num_classes (e.g. built from an index TSV) must still load for
+    feature-extraction flows (strict_classnames=False): positional
+    placeholders, not a KeyError from the metadata lookup."""
+    make_elevater_task(tmp_path, "my-tsv-task", 3, n_train=6, n_test=4)
+    cfg.DATASET.DATASET = "my-tsv-task"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    cfg.DATASET.METRIC_OVERRIDES = ["my-tsv-task=accuracy"]
+    dm = ElevaterDataManager(cfg, strict_classnames=False)
+    assert dm.num_classes == 3
+    assert dm.classnames == [f"my-tsv-task class {i}" for i in range(3)]
+
+
+def test_elevater_unknown_task_strict_instructs(cfg, tmp_path):
+    """The same manifest under a strict (prompt/label) flow fails with
+    instructions naming both fixes (manifest 'classnames' list or a
+    metadata.json entry), not a bare metadata KeyError."""
+    make_elevater_task(tmp_path, "my-tsv-task", 3, n_train=6, n_test=4)
+    cfg.DATASET.DATASET = "my-tsv-task"
+    cfg.DATASET.METRIC_OVERRIDES = ["my-tsv-task=accuracy"]
+    with pytest.raises(ValueError, match="'classnames'"):
+        ElevaterDataManager(cfg)
+
+
 def test_elevater_unknown_task_names_known_ones(cfg, tmp_path):
     """Tasks outside the metadata registry get an actionable KeyError
     (prompts/classnames come from the reference's prompts.py tables —

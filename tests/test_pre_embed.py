@@ -97,6 +97,30 @@ def test_zeroshot_uint8_fast_path_matches_normalize_path():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_make_zs_infer_uint8_matches_float_path():
+    """models/zsclip.py:make_zs_infer (the builder bench.py measures
+    and _ZeroshotBase ships): logits from a uint8 batch (fast path:
+    normalize folded into the patch embed) == logits from the same
+    batch pre-normalized to float (plain path)."""
+    from mvlpt_tpu.data.transforms import device_normalize
+    from mvlpt_tpu.models.zsclip import make_zs_infer
+
+    model, backbone, _, _ = _tiny()
+    infer = make_zs_infer(model.clip_cfg, CLIP_PIXEL_MEAN, CLIP_PIXEL_STD)
+    u8 = jnp.asarray(np.random.RandomState(11).randint(
+        0, 256, (4, 32, 32, 3)).astype(np.uint8))
+    text = np.random.RandomState(12).randn(6, 32).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    text = jnp.asarray(text)
+
+    fast = infer(backbone, text, u8)
+    plain = infer(backbone, text,
+                  device_normalize(u8, CLIP_PIXEL_MEAN, CLIP_PIXEL_STD))
+    assert fast.shape == (4, 6)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(plain),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_multi_step_pre_embed_matches_plain_multi():
     """make_train_step_multi(pre_embed=True, normalize=...) from uint8
     == the plain multi-step fed host-normalized fp32 images."""
