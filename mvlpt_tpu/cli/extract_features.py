@@ -91,16 +91,23 @@ def cli():
     else:
         cfg.freeze()
         backbone, clip_cfg = load_clip_backbone(cfg, jnp.bfloat16)
+        from mvlpt_tpu.core.resnet import RNConfig
         from mvlpt_tpu.data.transforms import device_normalize
+        from mvlpt_tpu.ops import select_attn_fn
 
         _mean = tuple(cfg.INPUT.PIXEL_MEAN)
         _std = tuple(cfg.INPUT.PIXEL_STD)
+        # feature extraction never differentiates: the fused kernels'
+        # inference variants skip the backward-residual HBM writes
+        _attn = (None if isinstance(clip_cfg, RNConfig)
+                 else select_attn_fn(cfg.TPU.USE_PALLAS, inference=True))
 
         @jax.jit
         def visual(images):
             # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
             images = device_normalize(images, _mean, _std)
-            return clip_core.encode_image(backbone, images, clip_cfg)
+            kw = {} if _attn is None else {"attn_fn": _attn}
+            return clip_core.encode_image(backbone, images, clip_cfg, **kw)
     # zoo models never consume classnames (no text tower), so the
     # manifest/metadata class-count guard must not bind there
     dm = build_data_manager(cfg, strict_classnames=not args.model)

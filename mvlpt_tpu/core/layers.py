@@ -168,10 +168,12 @@ def residual_block(
         from mvlpt_tpu.ops import block as block_ops
 
         mesh = getattr(attn_fn, "mesh", None)
+        inference = getattr(attn_fn, "inference", False)
         if mesh is not None:
             return block_ops.fused_residual_block_sharded(
-                x, p, n_heads, mask, mesh)
-        return block_ops.fused_residual_block(x, p, n_heads, mask)
+                x, p, n_heads, mask, mesh, inference=inference)
+        return block_ops.fused_residual_block(x, p, n_heads, mask,
+                                              inference=inference)
     x = x + attention(layer_norm(x, p["ln_1"]), p["attn"], n_heads, mask, attn_fn)
     x = x + mlp(layer_norm(x, p["ln_2"]), p["mlp"])
     return x

@@ -93,7 +93,9 @@ def make_zs_infer(clip_cfg, mean, std, use_pallas="auto"):
 
     mean, std = tuple(mean), tuple(std)
     is_vit = not isinstance(clip_cfg, RNConfig)
-    attn_fn = select_attn_fn(use_pallas) if is_vit else None
+    # inference=True: the fused kernels' no-grad variants (no backward-
+    # residual HBM writes — zero-shot never differentiates)
+    attn_fn = select_attn_fn(use_pallas, inference=True) if is_vit else None
 
     @jax.jit
     def infer(backbone, text_features, images):

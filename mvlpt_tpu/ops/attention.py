@@ -184,7 +184,7 @@ from mvlpt_tpu.ops._runtime import available  # noqa: E402,F401
 
 
 def select_attn_fn(use_pallas: str | bool = "auto",
-                   mesh=None) -> Callable | None:
+                   mesh=None, inference: bool = False) -> Callable | None:
     """Resolve the TPU.USE_PALLAS config knob to an attn_fn or None
     (None = the XLA einsum path in core.layers.attention).
 
@@ -211,19 +211,30 @@ def select_attn_fn(use_pallas: str | bool = "auto",
     the TP kernels are parity-validated but have no measured throughput
     win (this environment has one chip; BASELINE.md); forcing 'block'
     opts in. 'on' forces the standalone fused-attention kernel (wins
-    fwd only; kept for inference-heavy regimes)."""
+    fwd only; kept for inference-heavy regimes).
+
+    ``inference=True``: when the resolution lands on the fused-block
+    kernels, return the inference-flagged marker — no-grad kernel
+    variants that skip every backward-residual HBM write (ops/block.py
+    attn_block_infer / mlp_block_infer). Only for no-grad paths (eval,
+    zero-shot, feature extraction): the inference kernels have no
+    VJP, so differentiating through them fails loudly."""
 
     def _tp_size(m) -> int:
         if m is None:
             return 1
         return dict(zip(m.axis_names, m.devices.shape)).get("model", 1)
 
+    def _maybe_infer(marker):
+        return marker.as_inference() if inference else marker
+
     if use_pallas == "block":
         from mvlpt_tpu.ops import block as block_ops
 
         if mesh is not None and mesh.devices.size > 1:
-            return block_ops._FusedMarker(auto_selected=False, mesh=mesh)
-        return block_ops.FUSED
+            return _maybe_infer(
+                block_ops._FusedMarker(auto_selected=False, mesh=mesh))
+        return _maybe_infer(block_ops.FUSED)
     if use_pallas in (True, "on", "1"):
         return pallas_attention
     if use_pallas == "auto":
@@ -239,11 +250,12 @@ def select_attn_fn(use_pallas: str | bool = "auto",
                 # regression on hardware (BASELINE.md mesh datapoint);
                 # the TP variants await a multi-chip measurement.
                 return None
-            return block_ops._FusedMarker(auto_selected=True, mesh=mesh)
+            return _maybe_infer(
+                block_ops._FusedMarker(auto_selected=True, mesh=mesh))
         try:
             single = len(jax.devices()) == 1
         except RuntimeError:
             single = False
         if single:
-            return block_ops.FUSED_AUTO
+            return _maybe_infer(block_ops.FUSED_AUTO)
     return None

@@ -65,18 +65,30 @@ class _FusedMarker:
 
     fused_block = True
 
-    def __init__(self, auto_selected: bool = False, mesh=None):
+    def __init__(self, auto_selected: bool = False, mesh=None,
+                 inference: bool = False):
         self.auto_selected = auto_selected
         # When set, core.layers.residual_block routes through
         # fused_residual_block_sharded (shard_map over the mesh's
         # "data" axis) — pallas_call needs explicit partitioning under
         # a multi-device mesh.
         self.mesh = mesh
+        # No-grad kernel variants (attn_block_infer / mlp_block_infer):
+        # same math, no backward-residual HBM writes. Selected by eval
+        # builders (make_cached_text_eval, make_eval_step, zs infer);
+        # differentiating through an inference marker fails loudly
+        # (plain pallas_call, no custom VJP).
+        self.inference = inference
+
+    def as_inference(self):
+        return _FusedMarker(auto_selected=self.auto_selected,
+                            mesh=self.mesh, inference=True)
 
     def __repr__(self):  # pragma: no cover
-        return "<fused-block kernels%s%s>" % (
+        return "<fused-block kernels%s%s%s>" % (
             " (auto)" if self.auto_selected else "",
-            " (sharded)" if self.mesh is not None else "")
+            " (sharded)" if self.mesh is not None else "",
+            " (inference)" if self.inference else "")
 
 
 FUSED = _FusedMarker(auto_selected=False)
@@ -137,20 +149,28 @@ def _full(*shape):
 def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
                      wout_ref, *rest,
                      n_heads, head_dim, eps, g_imgs, has_mask,
-                     part=False):
+                     part=False, infer=False):
     """``n_heads`` is the LOCAL head count of this kernel's weight
     shard: the full count single-device, H/tp under tensor parallelism
     (attn_block_tp), where w3/bqkv/wout carry only this device's head
     slabs. ``part=True`` emits the fp32 partial out-projection product
     (no out-proj bias — and no bias ref at all — and no residual): the
-    caller psums over the model axis and finishes the block outside."""
+    caller psums over the model axis and finishes the block outside.
+    ``infer=True``: no-grad variant — same math, but the backward
+    residuals (qkv^T, probabilities, LN mu/rstd — ~2 MB/image/layer of
+    HBM writes at ViT-B/16 shapes) are never emitted; the only output
+    is y."""
     if not part:
         bout_ref = rest[0]
         rest = rest[1:]
     if has_mask:
         mask_ref = rest[0]
         rest = rest[1:]
-    y_ref, qkvt_ref, p_ref, mu_ref, rstd_ref, ot_scr, sc_scr = rest
+    if infer:
+        y_ref, ot_scr, sc_scr = rest
+        qkvt_ref = p_ref = mu_ref = rstd_ref = None
+    else:
+        y_ref, qkvt_ref, p_ref, mu_ref, rstd_ref, ot_scr, sc_scr = rest
     lns32 = lns_ref[...].astype(jnp.float32)
     lnb32 = lnb_ref[...].astype(jnp.float32)
     bqkv32 = bqkv_ref[...].astype(jnp.float32)
@@ -164,15 +184,17 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
         scale = d ** -0.5
 
         xh32, mu, rstd = _ln2d(x.astype(jnp.float32), lns32, lnb32, eps)
-        mu_ref[gi] = mu
-        rstd_ref[gi] = rstd
+        if not infer:
+            mu_ref[gi] = mu
+            rstd_ref[gi] = rstd
         xh = xh32.astype(dtype)
 
         # ONE full-width projection, transposed: (3Wl, W) @ (S, W)^T ->
         # (3Wl, S). Heads then live on the SUBLANE axis (64-row slabs),
         # which Mosaic slices freely — lane-axis head splits don't lower.
         qkvt = (_dot(w3_ref[...], xh, ((1,), (1,))) + bqkv32).astype(dtype)
-        qkvt_ref[gi] = qkvt
+        if not infer:
+            qkvt_ref[gi] = qkvt
 
         # MXU loop 1: all score matrices (back-to-back MXU work);
         # the softmax scale rides on q (D rows, not S*S logits)
@@ -186,7 +208,8 @@ def _attn_fwd_kernel(x_ref, lns_ref, lnb_ref, w3_ref, bqkv_ref,
         if has_mask:
             logits = logits + mask_ref[...][None]
         p_all = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        p_ref[gi] = p_all
+        if not infer:
+            p_ref[gi] = p_all
         # MXU loop 2: o^T = v^T @ p^T per head
         for h in range(h_n):
             vt = qkvt[2 * wl + h * d:2 * wl + (h + 1) * d]
@@ -403,18 +426,57 @@ def _attn_bwd(n_heads, eps, res, gy):
 attn_block.defvjp(_attn_fwd, _attn_bwd)
 
 
+def attn_block_infer(x, ln_p, attn_p, mask, n_heads, eps=_EPS):
+    """No-grad ``attn_block``: identical kernel math, but the backward
+    residuals (qkv^T, probabilities, mu/rstd) are never written to HBM
+    — only y is emitted. Not differentiable (plain pallas_call; eval
+    builders select it via the marker's ``inference`` flag)."""
+    b, s, w = x.shape
+    g = _pick_g(b)
+    w3, b3 = _head_major(attn_p, n_heads)
+    has_mask = mask is not None
+    in_specs = [_row3(g, s, w), _full(w), _full(w),
+                _full(3 * w, w), _full(3 * w, 1), _full(w, w), _full(w)]
+    args = [x, ln_p["scale"], ln_p["bias"], w3, b3, attn_p["out_w"],
+            attn_p["out_b"]]
+    if has_mask:
+        in_specs.append(_full(s, s))
+        args.append(mask.astype(jnp.float32))
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, n_heads=n_heads,
+                          head_dim=w // n_heads, eps=eps,
+                          g_imgs=g, has_mask=has_mask, infer=True),
+        grid=(b // g,),
+        in_specs=in_specs,
+        out_specs=_row3(g, s, w),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        scratch_shapes=([pltpu.VMEM((w, s), x.dtype),
+                         pltpu.VMEM((n_heads, s, s), jnp.float32)]
+                        if _HAS_PLTPU else []),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+        interpret=_interpret(),
+    )(*args)
+
+
 # ---------------------------------------------------------------- mlp block
 
 def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
-                    wproj_ref, *rest, eps, g_imgs, part=False):
+                    wproj_ref, *rest, eps, g_imgs, part=False, infer=False):
     """``part=True``: wfc/bfc/wproj carry only this device's hidden-unit
     shard (4W/tp columns / rows); the fp32 partial down-projection is
     emitted without bias (no bproj ref at all) or residual, for a
-    model-axis psum outside."""
+    model-axis psum outside. ``infer=True``: no-grad variant — the
+    backward residuals (pre-activation hpre, ~1.3 MB/image/layer at
+    ViT-B/16 shapes, LN mu/rstd) are never emitted; only y is."""
     if not part:
         bproj_ref = rest[0]
         rest = rest[1:]
-    y_ref, hpre_ref, mu_ref, rstd_ref = rest
+    if infer:
+        (y_ref,) = rest
+        hpre_ref = mu_ref = rstd_ref = None
+    else:
+        y_ref, hpre_ref, mu_ref, rstd_ref = rest
     lns32 = lns_ref[...].astype(jnp.float32)
     lnb32 = lnb_ref[...].astype(jnp.float32)
     bfc32 = bfc_ref[...].astype(jnp.float32)
@@ -423,12 +485,14 @@ def _mlp_fwd_kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
         x = x_ref[gi]                                  # (S, W)
         dtype = x.dtype
         xh32, mu, rstd = _ln2d(x.astype(jnp.float32), lns32, lnb32, eps)
-        mu_ref[gi] = mu
-        rstd_ref[gi] = rstd
+        if not infer:
+            mu_ref[gi] = mu
+            rstd_ref[gi] = rstd
         hpre32 = _dot(xh32.astype(dtype), wfc_ref[...], ((1,), (0,)))
         hpre32 = hpre32 + bfc32
         hpre = hpre32.astype(dtype)
-        hpre_ref[gi] = hpre
+        if not infer:
+            hpre_ref[gi] = hpre
         # GELU on the compute-dtype-rounded pre-activation: matches the
         # XLA path (core/layers.mlp rounds the matmul before quick_gelu)
         # and the backward kernel, which recomputes gelu' from the saved
@@ -528,6 +592,26 @@ def _mlp_bwd(eps, res, gy):
 mlp_block.defvjp(_mlp_fwd, _mlp_bwd)
 
 
+def mlp_block_infer(x, ln_p, mlp_p, eps=_EPS):
+    """No-grad ``mlp_block``: identical kernel math without the
+    backward-residual HBM writes (hpre, mu/rstd); only y is emitted."""
+    b, s, w = x.shape
+    w4 = mlp_p["fc_w"].shape[1]
+    g = _pick_g(b)
+    return pl.pallas_call(
+        functools.partial(_mlp_fwd_kernel, eps=eps, g_imgs=g, infer=True),
+        grid=(b // g,),
+        in_specs=[_row3(g, s, w), _full(w), _full(w),
+                  _full(w, w4), _full(w4), _full(w4, w), _full(w)],
+        out_specs=_row3(g, s, w),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), x.dtype),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
+        interpret=_interpret(),
+    )(x, ln_p["scale"], ln_p["bias"], mlp_p["fc_w"], mlp_p["fc_b"],
+      mlp_p["proj_w"], mlp_p["proj_b"])
+
+
 def _mlp_rows_group(b: int, s: int) -> int:
     """Images merged per MLP kernel program at short sequence lengths.
 
@@ -580,8 +664,18 @@ def _block_diag_mask(gr: int, s: int):
         np.where(idx[:, None] == idx[None, :], 0.0, -1e9), jnp.float32)
 
 
-def fused_residual_block(x, p, n_heads, mask=None):
+def fused_residual_block(x, p, n_heads, mask=None, inference=False):
     """Drop-in residual_block using the fused half-block kernels.
+
+    ``inference=True`` (selected by eval builders through the marker's
+    ``inference`` flag) swaps in the no-grad kernel variants: same math
+    and grouping, but none of the backward residuals (qkv^T, probs,
+    hpre, mu/rstd — ~3.3 MB/image/layer at ViT-B/16 shapes) are ever
+    written to HBM. Measured on v5e (batch-100 eval, flagship,
+    interleaved A/B ×3): 3783 → 3817 img/s (26.43 → 26.20 ms/batch) —
+    a small ~1% win (the residual writes mostly hide under compute at
+    these shapes), consistent across rounds; see BASELINE.md round-4
+    eval entry.
 
     Negative result, kept for the record (round 3): fusing BOTH halves
     into one whole-layer program (saving the inter-half (B,S,W) HBM
@@ -589,22 +683,25 @@ def fused_residual_block(x, p, n_heads, mask=None):
     ms/step on the flagship — the doubled per-program VMEM footprint
     (both halves' weights + residuals resident) costs Mosaic more
     pipelining overlap than the saved traffic buys."""
+    attn_f = attn_block_infer if inference else attn_block
+    mlp_f = mlp_block_infer if inference else mlp_block
     b, s, w = x.shape
     ga = _attn_rows_group(b, s) if mask is None else 1
     if ga > 1:
         xg = x.reshape(b // ga, ga * s, w)
-        x = attn_block(xg, p["ln_1"], p["attn"], _block_diag_mask(ga, s),
-                       n_heads).reshape(b, s, w)
+        x = attn_f(xg, p["ln_1"], p["attn"], _block_diag_mask(ga, s),
+                   n_heads).reshape(b, s, w)
     else:
-        x = attn_block(x, p["ln_1"], p["attn"], mask, n_heads)
+        x = attn_f(x, p["ln_1"], p["attn"], mask, n_heads)
     gr = _mlp_rows_group(b, s)
     if gr > 1:
-        y = mlp_block(x.reshape(b // gr, gr * s, w), p["ln_2"], p["mlp"])
+        y = mlp_f(x.reshape(b // gr, gr * s, w), p["ln_2"], p["mlp"])
         return y.reshape(b, s, w)
-    return mlp_block(x, p["ln_2"], p["mlp"])
+    return mlp_f(x, p["ln_2"], p["mlp"])
 
 
-def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
+def fused_residual_block_sharded(x, p, n_heads, mask, mesh,
+                                 inference=False):
     """The fused block under a multi-device mesh.
 
     ``pallas_call`` is opaque to GSPMD, so the kernels must declare
@@ -628,7 +725,10 @@ def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
       H/tp heads (resp. 4W/tp hidden units) and emits an fp32 partial,
       psummed over "model" with bias+residual applied after. Head
       counts or hidden widths that don't divide tp fall back to the
-      XLA block (GSPMD shards it from the declared weight specs)."""
+      XLA block (GSPMD shards it from the declared weight specs).
+      ``inference`` is a no-op here: the TP kernels keep their
+      (identical-value) training variants — no-grad TP variants await
+      a multi-chip measurement, like the TP kernels themselves."""
     from mvlpt_tpu.parallel.mesh import shard_map
     from jax.sharding import PartitionSpec as P
 
@@ -656,13 +756,15 @@ def fused_residual_block_sharded(x, p, n_heads, mask, mesh):
 
     if mask is None:
         fn = shard_map(
-            lambda x_l, p_l: fused_residual_block(x_l, p_l, n_heads, None),
+            lambda x_l, p_l: fused_residual_block(
+                x_l, p_l, n_heads, None, inference=inference),
             mesh=mesh, in_specs=(xspec, P()), out_specs=xspec,
             check_rep=False)
         out = fn(x, p)
     else:
         fn = shard_map(
-            lambda x_l, p_l, m: fused_residual_block(x_l, p_l, n_heads, m),
+            lambda x_l, p_l, m: fused_residual_block(
+                x_l, p_l, n_heads, m, inference=inference),
             mesh=mesh, in_specs=(xspec, P(), P()), out_specs=xspec,
             check_rep=False)
         out = fn(x, p, mask)

@@ -216,9 +216,25 @@ def make_train_step_multi(
     return jax.jit(multi_fn, donate_argnums=donate_argnums)
 
 
+def _inference_model(model: MVLPTModel) -> MVLPTModel:
+    """Swap the model's fused-block marker for its inference variant:
+    same kernel math, but none of the backward residuals (qkv^T, probs,
+    hpre, LN stats — ~3.3 MB/image/layer at B/16) are written to HBM.
+    Exact no-op for XLA / standalone-attention / non-marker attn_fns."""
+    mk = getattr(model.attn_fn, "as_inference", None)
+    if mk is None or getattr(model.attn_fn, "inference", False):
+        return model
+    return dataclasses.replace(model, attn_fn=mk())
+
+
 def make_eval_step(model: MVLPTModel, task_ranges: TaskClassRanges | None = None,
                    normalize: tuple | None = None):
-    """eval_step(backbone, prompt_params, consts, batch) -> fp32 logits."""
+    """eval_step(backbone, prompt_params, consts, batch) -> fp32 logits.
+
+    No gradient ever flows at eval, so the fused-block kernels run
+    their inference variants (_inference_model): identical values,
+    no backward-residual HBM writes."""
+    model = _inference_model(model)
 
     @jax.jit
     def eval_fn(backbone, prompt_params, consts, batch):
@@ -242,9 +258,16 @@ def make_cached_text_eval(model: MVLPTModel,
     logits per batch (identical values to make_eval_step — the text
     recompute the reference pays per batch, mvlpt.py:540-582, is pure
     waste at eval). Not applicable to CoCoOp (image-conditioned text):
-    returns (None, None) so callers fall back to make_eval_step."""
+    returns (None, None) so callers fall back to make_eval_step.
+
+    Both fns run the fused kernels' inference variants
+    (_inference_model): no gradient flows at eval, so the backward-
+    residual HBM writes are pure waste — skipping them measured
+    3783 -> 3817 img/s (~1%, interleaved A/B x3, v5e batch 100; see
+    BASELINE.md round-4 eval entry)."""
     if model.spec.has_cocoop:
         return None, None
+    model = _inference_model(model)
 
     @jax.jit
     def text_fn(backbone, prompt_params, consts):

@@ -129,6 +129,71 @@ def test_select_attn_fn_block():
     assert getattr(select_attn_fn("block"), "fused_block", False)
 
 
+@pytest.mark.parametrize("b", [1, 4, 8])
+@pytest.mark.parametrize("masked", [False, True])
+def test_inference_block_bit_identical(b, masked):
+    """The no-grad kernel variants (inference=True: no backward-residual
+    HBM writes) run the SAME kernel math — outputs must be bit-identical
+    to the training kernels, across g-blocking shapes and masks,
+    including the ga>1 row-grouped path (s=9 < 128 engages grouping)."""
+    rng = np.random.RandomState(7)
+    s, w, h = 9, 32, 4
+    x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+    p = _params(rng, w)
+    mask = layers.causal_mask(s) if masked else None
+    train = bops.fused_residual_block(x, p, h, mask)
+    infer = bops.fused_residual_block(x, p, h, mask, inference=True)
+    np.testing.assert_array_equal(np.asarray(infer), np.asarray(train))
+
+
+def test_inference_marker_plumbing():
+    """select_attn_fn(inference=True) returns an inference-flagged
+    marker; residual_block routes it to the no-grad kernels (outputs
+    still bit-identical); as_inference preserves auto/mesh fields."""
+    from mvlpt_tpu.ops.attention import select_attn_fn
+
+    mk = select_attn_fn("block", inference=True)
+    assert getattr(mk, "fused_block", False) and mk.inference
+    assert not bops.FUSED.inference
+    auto_inf = bops.FUSED_AUTO.as_inference()
+    assert auto_inf.auto_selected and auto_inf.inference
+
+    rng = np.random.RandomState(8)
+    b, s, w, h = 2, 9, 32, 4
+    x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+    p = _params(rng, w)
+    via_marker = layers.residual_block(x, p, h, None, attn_fn=mk)
+    train = layers.residual_block(x, p, h, None, attn_fn=bops.FUSED)
+    np.testing.assert_array_equal(np.asarray(via_marker), np.asarray(train))
+
+
+def test_inference_model_swap():
+    """train_step._inference_model swaps fused markers for their
+    inference variants and is a no-op for XLA (None) attn_fns and
+    already-inference markers."""
+    import dataclasses
+
+    from mvlpt_tpu.core.clip import CLIPConfig
+    from mvlpt_tpu.models.custom_clip import MVLPTModel
+    from mvlpt_tpu.prompts import PromptSpec
+    from mvlpt_tpu.train.train_step import _inference_model
+
+    cfg = CLIPConfig(
+        embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+        vision_patch_size=8, transformer_width=24, transformer_heads=2,
+        transformer_layers=1, vision_heads_override=2)
+    spec = PromptSpec(
+        n_cls=2, coop_n_ctx=2, vpt_n_ctx=0, context_length=8,
+        vision_layers=1, vision_width=32, text_width=24, embed_dim=16,
+        vision_patch_size=8)
+    m_xla = MVLPTModel(clip_cfg=cfg, spec=spec)
+    assert _inference_model(m_xla) is m_xla
+    m_fused = dataclasses.replace(m_xla, attn_fn=bops.FUSED)
+    m_inf = _inference_model(m_fused)
+    assert m_inf.attn_fn.inference and not m_fused.attn_fn.inference
+    assert _inference_model(m_inf) is m_inf
+
+
 def test_full_model_with_fused_blocks():
     """MVLPT forward+grad through the fused path on tiny towers."""
     import dataclasses
@@ -199,6 +264,24 @@ class TestShardedFusedBlock:
         out = jax.jit(
             lambda x_, p_: bops.fused_residual_block_sharded(
                 x_, p_, h, mask, mesh))(x, p)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=1e-5)
+
+    @pytest.mark.parametrize("b", [8, 6])
+    def test_inference_matches_unsharded(self, b):
+        """Sharded inference kernels (dp shard_map, no-grad variants) ==
+        the unsharded training kernels, incl. the padded non-divisible
+        row path (b=6 on dp=4)."""
+        rng = np.random.RandomState(9)
+        s, w, h = 9, 32, 4
+        x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+        p = _params(rng, w)
+        mesh = self._mesh()
+
+        ref = bops.fused_residual_block(x, p, h, None)
+        out = jax.jit(
+            lambda x_, p_: bops.fused_residual_block_sharded(
+                x_, p_, h, None, mesh, inference=True))(x, p)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=0, atol=1e-5)
 
