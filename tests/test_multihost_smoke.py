@@ -20,6 +20,7 @@ single-process nn.DataParallel, mvlpt.py:877).
 """
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -69,29 +70,50 @@ def test_two_process_smoke_over_loopback():
         "JAX_NUM_PROCESSES": "2",
         "PYTHONPATH": os.pathsep.join(["/root/repo"] + pypath),
     })
-    procs = []
-    for pid in range(2):
-        env = dict(base, JAX_PROCESS_ID=str(pid))
-        procs.append(subprocess.Popen(
-            [sys.executable, SCRIPT], env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True))
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=420)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    def _attempt(port):
+        procs = []
+        for pid in range(2):
+            env = dict(base, JAX_PROCESS_ID=str(pid),
+                       JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}")
+            procs.append(subprocess.Popen(
+                [sys.executable, SCRIPT], env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True))
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=540)
+                outs.append(out)
+        except subprocess.TimeoutExpired:
+            pass
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.communicate()
+        while len(outs) < len(procs):
+            outs.append("<killed: timeout>")
+        return procs, outs
+
+    # One retry with a fresh coordinator port: under a fully loaded CI
+    # machine the first attempt can lose a port race (TOCTOU between
+    # _free_port and the coordinator bind) or starve past the timeout.
+    procs, outs = _attempt(port)
+    if any(p.returncode != 0 for p in procs):
+        procs, outs = _attempt(_free_port())
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid}:\n{out[-3000:]}"
         assert "2 processes, 8 global / 4 local devices" in out, out[-2000:]
         assert "OK loss=" in out, out[-2000:]
         # Phase 2 must have run: 8 devices -> dp=4 x tp=2 across hosts.
         assert "OK tp=2 loss=" in out, out[-2000:]
-    # Both processes computed the identical loss (printed lines match).
-    lines0 = [l for l in outs[0].splitlines() if "OK" in l]
-    lines1 = [l for l in outs[1].splitlines() if "OK" in l]
-    assert [l.split("]")[1] for l in lines0] == \
-           [l.split("]")[1] for l in lines1]
+    # Both processes computed the identical loss. Compare the extracted
+    # (phase, loss) tokens, not whole lines: the children run with
+    # stderr merged into stdout, and an async Gloo/absl warning can
+    # interleave onto the same line as an OK print, which broke the
+    # old whole-line comparison while the losses in fact agreed.
+    def _ok_tokens(out):
+        return re.findall(r"OK (tp=2 )?loss=([0-9.]+)", out)
+
+    assert _ok_tokens(outs[0]) == _ok_tokens(outs[1]), (
+        outs[0][-1500:], outs[1][-1500:])
+    assert len(_ok_tokens(outs[0])) == 2
