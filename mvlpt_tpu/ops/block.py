@@ -426,11 +426,15 @@ def _attn_bwd(n_heads, eps, res, gy):
 attn_block.defvjp(_attn_fwd, _attn_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def attn_block_infer(x, ln_p, attn_p, mask, n_heads, eps=_EPS):
     """No-grad ``attn_block``: identical kernel math, but the backward
     residuals (qkv^T, probabilities, mu/rstd) are never written to HBM
-    — only y is emitted. Not differentiable (plain pallas_call; eval
-    builders select it via the marker's ``inference`` flag)."""
+    — only y is emitted. Not differentiable: the attached VJP raises
+    ``NotImplementedError`` with a pointer to the training kernel, so
+    a mis-routed grad fails with a diagnosis instead of an opaque AD
+    error from inside pallas_call (eval builders select this variant
+    via the marker's ``inference`` flag)."""
     b, s, w = x.shape
     g = _pick_g(b)
     w3, b3 = _head_major(attn_p, n_heads)
@@ -457,6 +461,24 @@ def attn_block_infer(x, ln_p, attn_p, mask, n_heads, eps=_EPS):
             vmem_limit_bytes=100 << 20) if _HAS_PLTPU else None),
         interpret=_interpret(),
     )(*args)
+
+
+def _no_grad_fwd_attn(x, ln_p, attn_p, mask, n_heads, eps):
+    return attn_block_infer(x, ln_p, attn_p, mask, n_heads, eps), None
+
+
+def _no_grad_bwd(kind):
+    def bwd(*_args):
+        raise NotImplementedError(
+            f"{kind} is a no-grad eval kernel (no backward residuals are "
+            "saved); differentiate the training kernel instead — use the "
+            "fused marker with inference=False (train paths never select "
+            "inference markers; this means an eval-built fn was "
+            "differentiated).")
+    return bwd
+
+
+attn_block_infer.defvjp(_no_grad_fwd_attn, _no_grad_bwd("attn_block_infer"))
 
 
 # ---------------------------------------------------------------- mlp block
@@ -592,9 +614,12 @@ def _mlp_bwd(eps, res, gy):
 mlp_block.defvjp(_mlp_fwd, _mlp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def mlp_block_infer(x, ln_p, mlp_p, eps=_EPS):
     """No-grad ``mlp_block``: identical kernel math without the
-    backward-residual HBM writes (hpre, mu/rstd); only y is emitted."""
+    backward-residual HBM writes (hpre, mu/rstd); only y is emitted.
+    Differentiating it raises ``NotImplementedError`` (see
+    attn_block_infer)."""
     b, s, w = x.shape
     w4 = mlp_p["fc_w"].shape[1]
     g = _pick_g(b)
@@ -610,6 +635,13 @@ def mlp_block_infer(x, ln_p, mlp_p, eps=_EPS):
         interpret=_interpret(),
     )(x, ln_p["scale"], ln_p["bias"], mlp_p["fc_w"], mlp_p["fc_b"],
       mlp_p["proj_w"], mlp_p["proj_b"])
+
+
+def _no_grad_fwd_mlp(x, ln_p, mlp_p, eps):
+    return mlp_block_infer(x, ln_p, mlp_p, eps), None
+
+
+mlp_block_infer.defvjp(_no_grad_fwd_mlp, _no_grad_bwd("mlp_block_infer"))
 
 
 def _mlp_rows_group(b: int, s: int) -> int:

@@ -146,6 +146,18 @@ def test_inference_block_bit_identical(b, masked):
     np.testing.assert_array_equal(np.asarray(infer), np.asarray(train))
 
 
+def test_inference_block_grad_fails_loudly():
+    """Differentiating through the no-grad kernels raises a diagnostic
+    NotImplementedError (not an opaque AD error from inside pallas)."""
+    rng = np.random.RandomState(11)
+    b, s, w, h = 2, 9, 32, 4
+    x = jnp.asarray(rng.randn(b, s, w), jnp.float32)
+    p = _params(rng, w)
+    with pytest.raises(NotImplementedError, match="no-grad eval kernel"):
+        jax.grad(lambda x_: bops.fused_residual_block(
+            x_, p, h, None, inference=True).sum())(x)
+
+
 def test_inference_marker_plumbing():
     """select_attn_fn(inference=True) returns an inference-flagged
     marker; residual_block routes it to the no-grad kernels (outputs
