@@ -236,8 +236,13 @@ def main():
     }
     out["mfu"] = round(mfu, 4)
     out["flops_per_step"] = int(flops_per_step)
+    from mvlpt_tpu.utils.flops import eval_step_flops
+
     out["eval_img_s"] = round(eval_img_s, 1)
     out["eval_ms_batch100"] = round(eval_ms, 3)
+    out["eval_mfu"] = round(
+        eval_step_flops(batch=EVAL_BATCH, n_cls=N_CLS)
+        / (eval_ms / 1e3) / V5E_BF16_PEAK_FLOPS, 4)
     out["zs_eval_img_s"] = round(zs_img_s, 1)
     print(json.dumps(out))
 

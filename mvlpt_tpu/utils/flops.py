@@ -81,3 +81,26 @@ def flagship_step_flops(
     proj = (batch * 2 * vision_width * embed * 2
             + n_cls * 2 * text_width * embed * 2)
     return image + stem + text + logits + proj
+
+
+def eval_step_flops(
+    batch: int = 100,
+    n_cls: int = 100,
+    image_tokens: int = 201,
+    vision_width: int = 768,
+    vision_layers: int = 12,
+    patch_tokens: int = 196,
+    patch_dim: int = 768,
+    embed: int = 512,
+) -> int:
+    """Per-eval-batch matmul FLOPs for the cached-text eval fast path
+    (make_cached_text_eval): image tower forward only — the text tower
+    is computed ONCE per split and cached, so it amortizes to ~zero per
+    batch — plus the stem, the image projection, and the logit matmul.
+    No backward anywhere (eval never differentiates)."""
+    image = batch * transformer_matmul_flops(
+        image_tokens, vision_width, vision_layers, bwd=False)
+    stem = batch * 2 * patch_tokens * patch_dim * vision_width
+    logits = 2 * batch * embed * n_cls
+    proj = batch * 2 * vision_width * embed
+    return image + stem + logits + proj

@@ -1,7 +1,7 @@
 """FLOP accounting (utils/flops.py) vs hand-derived constants."""
 
 from mvlpt_tpu.utils.flops import (
-    flagship_step_flops, transformer_matmul_flops)
+    eval_step_flops, flagship_step_flops, transformer_matmul_flops)
 
 
 def test_transformer_flops_hand_derived():
@@ -19,6 +19,20 @@ def test_blocked_attention_counts_block_sizes():
         20, 8, 1, bwd=False, attn_token_blocks=[10, 10])
     # same projections, half the score/context work (2*10^2 vs 20^2)
     assert full - blocked == 4 * (20 * 20 - 2 * 10 * 10) * 8
+
+
+def test_eval_flops_hand_derived():
+    """Cached-text eval batch: image tower fwd only + stem + head.
+    batch-100/100-cls B/16: 100*fwd(201 tok) ≈ 3.64 TFLOP dominates;
+    stem 100*2*196*768*768 ≈ 23.1 GFLOP; logits/proj < 0.1 GFLOP."""
+    f = eval_step_flops()
+    img = 100 * transformer_matmul_flops(201, 768, 12, bwd=False)
+    assert img < f < img * 1.01
+    assert f - img == (100 * 2 * 196 * 768 * 768        # stem
+                       + 2 * 100 * 512 * 100            # logits
+                       + 100 * 2 * 768 * 512)           # image proj
+    # sanity magnitude: ~3.66 TFLOP per batch-100
+    assert 3.5e12 < f < 3.8e12
 
 
 def test_flagship_magnitude():
