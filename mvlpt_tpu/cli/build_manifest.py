@@ -193,14 +193,37 @@ def cli():
     from mvlpt_tpu.data.elevater import class_map, load_metadata
 
     n_classes, own_classnames = n_from_src, None
-    if args.task in load_metadata() and len(class_map(args.task)) == n_from_src:
-        n_classes = len(class_map(args.task))
+    known = args.task in load_metadata()
+    n_meta = len(class_map(args.task)) if known else None
+    if known and n_meta == n_from_src:
+        n_classes = n_meta
     elif folder_classes:
         # Task unknown to metadata.json, or the source carries a
         # different class count (e.g. a local subset): make the manifest
         # self-describing so the loader's class-count guard doesn't bind
         # (manifest classnames are authoritative, docs/DATASETS.md).
         own_classnames = folder_classes
+    elif known and n_from_src <= n_meta:
+        # Known task, index-TSV source whose labels don't reach the last
+        # classes (e.g. a few-shot subset): TSV labels index the task's
+        # full class table, so the metadata count is the real one —
+        # writing the observed max+1 would make every strict load refuse
+        # on a count disagreement (data/elevater/manifest.py guard).
+        print(f"note: source labels reach {n_from_src - 1} but "
+              f"{args.task!r} has {n_meta} classes in metadata.json; "
+              f"writing num_classes={n_meta} (TSV labels index the full "
+              f"class table).")
+        n_classes = n_meta
+    elif known:
+        # labels exceed the known task's class table: the label space
+        # and the classname table genuinely disagree — a manifest built
+        # from this could never load; fail at build time, with the fix.
+        raise SystemExit(
+            f"task {args.task!r}: source labels reach {n_from_src - 1} "
+            f"but metadata.json lists only {n_meta} classes — the label "
+            f"space and the classname table disagree. Rename the task "
+            f"(making the manifest self-describing) or fix the source "
+            f"labels.")
     elif args.task not in load_metadata():
         # Index-TSV source (no class folders to name from) for a task
         # metadata.json doesn't know: the manifest gets num_classes

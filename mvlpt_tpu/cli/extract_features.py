@@ -25,8 +25,7 @@ def cli():
     import jax.numpy as jnp
 
     from mvlpt_tpu.config import get_cfg_default
-    from mvlpt_tpu.core import clip as clip_core
-    from mvlpt_tpu.data.elevater import class_map, template_map
+    from mvlpt_tpu.data.elevater import template_map
     from mvlpt_tpu.data.elevater.manifest import first_classname
     from mvlpt_tpu.data.managers import build_data_manager
     from mvlpt_tpu.models.zsclip import encode_class_text_features
@@ -91,23 +90,20 @@ def cli():
     else:
         cfg.freeze()
         backbone, clip_cfg = load_clip_backbone(cfg, jnp.bfloat16)
-        from mvlpt_tpu.core.resnet import RNConfig
-        from mvlpt_tpu.data.transforms import device_normalize
-        from mvlpt_tpu.ops import select_attn_fn
+        # the shared no-grad image path (models/zsclip.py): uint8 ViT
+        # batches fold CLIP normalization into the frozen patch-embed
+        # matmul, the fused kernels run their inference variants (no
+        # backward-residual HBM writes — extraction never
+        # differentiates); ResNet / float inputs device_normalize
+        from mvlpt_tpu.models.zsclip import make_image_encoder
 
-        _mean = tuple(cfg.INPUT.PIXEL_MEAN)
-        _std = tuple(cfg.INPUT.PIXEL_STD)
-        # feature extraction never differentiates: the fused kernels'
-        # inference variants skip the backward-residual HBM writes
-        _attn = (None if isinstance(clip_cfg, RNConfig)
-                 else select_attn_fn(cfg.TPU.USE_PALLAS, inference=True))
+        _encode = make_image_encoder(
+            clip_cfg, tuple(cfg.INPUT.PIXEL_MEAN),
+            tuple(cfg.INPUT.PIXEL_STD), cfg.TPU.USE_PALLAS)
+        _bb = backbone
 
-        @jax.jit
         def visual(images):
-            # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
-            images = device_normalize(images, _mean, _std)
-            kw = {} if _attn is None else {"attn_fn": _attn}
-            return clip_core.encode_image(backbone, images, clip_cfg, **kw)
+            return _encode(_bb, images)
     # zoo models never consume classnames (no text tower), so the
     # manifest/metadata class-count guard must not bind there
     dm = build_data_manager(cfg, strict_classnames=not args.model)
@@ -139,8 +135,18 @@ def cli():
                 if len(parts) >= 2:
                     knowledge.setdefault(parts[0], []).append(parts[1])
 
-    classnames = [first_classname(c) for c in class_map(args.dataset)]
-    templates = template_map(args.dataset)
+    # classnames come from the data manager (manifest-declared >
+    # metadata.json, data/elevater/manifest._resolve_classnames), so a
+    # custom task with a self-describing manifest extracts text
+    # features too — class_map() alone would KeyError on it
+    classnames = [first_classname(c) for c in dm.classnames]
+    try:
+        templates = template_map(args.dataset)
+    except KeyError:
+        # custom task: metadata.json carries no template pool
+        templates = ["a photo of a {}."]
+        print(f"note: task {args.dataset!r} not in metadata.json — "
+              f"using the default template 'a photo of a {{}}.'")
     if args.knowledge:
         from mvlpt_tpu.data.elevater.knowledge import (
             encode_class_text_features_with_knowledge)

@@ -28,6 +28,7 @@ import json
 import math
 import os
 import random
+import re
 from collections import Counter, defaultdict
 from functools import lru_cache
 
@@ -116,6 +117,40 @@ def _load_image_folder_split(split_dir: str, classnames) -> list[ElevaterItem]:
                 continue
             items.append(ElevaterItem(os.path.join(fdir, name), (label,)))
     return items
+
+
+def _align_meta_to_folders(folders: list[str], meta_names: list) -> list:
+    """Place metadata classnames at the labels ImageFolder actually
+    assigns. Labels come from SORTED folder order
+    (_load_image_folder_split); metadata.json lists classes in its own
+    canonical label order — using the metadata list positionally would
+    silently pair every prompt with the wrong label whenever the two
+    orders differ (e.g. folders 'cat','dog' sort to cat=0 while the
+    metadata lists ['dog','cat']).
+
+    Resolution order: (a) all-numeric folders index the metadata table
+    directly ('3/' means metadata class 3); (b) name-keyed folders
+    match their metadata entry (case/space/underscore-insensitive,
+    synonym lists included); (c) anything unmatchable keeps the folder
+    names themselves — label-aligned by construction, just less pretty
+    than the metadata spellings."""
+    if all(f.isdigit() for f in folders):
+        idx = [int(f) for f in folders]
+        if sorted(idx) == list(range(len(meta_names))):
+            return [meta_names[i] for i in idx]
+        return list(folders)
+
+    def norm(s):
+        return re.sub(r"[\s_-]+", " ", str(s)).strip().lower()
+
+    table = {}
+    for entry in meta_names:
+        for name in (entry if isinstance(entry, list) else [entry]):
+            table.setdefault(norm(name), entry)
+    aligned = [table.get(norm(f)) for f in folders]
+    if all(a is not None for a in aligned):
+        return aligned
+    return list(folders)
 
 
 def _resolve_classnames(task: str, declared: int | None, own,
@@ -221,7 +256,12 @@ def load_task_manifest(root: str, task: str, train_set: str = "train",
     train_dir = os.path.join(task_dir, train_set)
     if os.path.isdir(train_dir):
         # Folder names are natural classnames; prefer the metadata
-        # table (richer names) only when the counts actually agree.
+        # table (richer names) only when the counts agree AND each
+        # metadata entry can be placed at the folder-derived label it
+        # actually describes (_align_meta_to_folders) — labels come
+        # from SORTED folder order (_load_image_folder_split), while
+        # metadata.json lists classes in canonical label order, and the
+        # two orders need not coincide.
         folders = sorted(f.name for f in os.scandir(train_dir) if f.is_dir())
         meta_names = load_metadata().get(task, {}).get("classes")
         if meta_names is not None and len(folders) != len(meta_names):
@@ -232,9 +272,10 @@ def load_task_manifest(root: str, task: str, train_set: str = "train",
                     f"classname table has {len(meta_names)} classes "
                     f"(data/elevater/metadata.json) — counts must agree.")
             classnames = folders
+        elif meta_names is not None:
+            classnames = _align_meta_to_folders(folders, meta_names)
         else:
-            classnames = list(meta_names) if meta_names is not None \
-                else folders
+            classnames = folders
         n_classes = len(classnames)
         test_dir = next(
             (d for c in test_candidates

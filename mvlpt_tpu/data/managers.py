@@ -178,6 +178,25 @@ def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,
         seed=max(cfg.SEED, 0), drop_last=shuffle, multitask=multitask)
 
 
+def _metric_name_for(task: str, overrides: dict) -> str:
+    """Metric for a task: override > metadata.json > 'accuracy'.
+
+    Custom tasks (self-describing manifests) have no metadata.json
+    metric row; a bare lookup would KeyError even for flows that never
+    consult the metric (feature extraction). Default to accuracy with a
+    note — eval flows can pick one with DATASET.METRIC_OVERRIDES."""
+    metric = overrides.get(task)
+    if metric is not None:
+        return metric
+    try:
+        return ev.class_map_metric(task)
+    except KeyError:
+        print(f"[data] task {task!r} not in metadata.json: metric "
+              f"defaults to 'accuracy' (override with "
+              f"DATASET.METRIC_OVERRIDES '{task}=<metric>')")
+        return "accuracy"
+
+
 def _metric_overrides(cfg) -> dict:
     """Parse DATASET.METRIC_OVERRIDES ("task=metric" entries)."""
     out = {}
@@ -202,7 +221,7 @@ class ElevaterDataManager:
             val_set=cfg.DATASET.VAL_SET, test_set=cfg.DATASET.TEST_SET,
             strict_classnames=strict_classnames)
         overrides = _metric_overrides(cfg)
-        self._metric_name = overrides.get(task) or ev.class_map_metric(task)
+        self._metric_name = _metric_name_for(task, overrides)
         self._metric = get_metric(self._metric_name)
         # classnames resolved by the manifest loader (manifest-declared >
         # metadata > placeholders) so counts always agree with targets
@@ -274,7 +293,7 @@ class ElevaterMultitaskDataManager:
         self._id2task = dict(enumerate(tasks))
         overrides = _metric_overrides(cfg)
         self._metric_name = {
-            t: overrides.get(t) or ev.class_map_metric(t) for t in tasks}
+            t: _metric_name_for(t, overrides) for t in tasks}
         self._metric = {t: get_metric(self._metric_name[t]) for t in tasks}
         self._labelmap = {t: mt.manifests[t].classnames for t in tasks}
         self._task_class_idx = mt.task_class_idx()

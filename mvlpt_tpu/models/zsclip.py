@@ -75,30 +75,30 @@ def encode_class_text_features(backbone, clip_cfg, classnames, templates,
     return mean_features / jnp.linalg.norm(mean_features, axis=-1, keepdims=True)
 
 
-def make_zs_infer(clip_cfg, mean, std, use_pallas="auto"):
-    """Jitted zero-shot ``infer(backbone, text_features, images) ->
-    logits`` — THE shipped zero-shot compute path (bench.py measures
-    zs_eval_img_s through this same builder so the number can't drift
-    from what ships).
+def make_image_encoder(clip_cfg, mean, std, use_pallas="auto"):
+    """Jitted ``encode(backbone, images) -> image features`` — the
+    shared fast image path for every no-grad consumer (make_zs_infer
+    and the extract_features CLI use this same builder, so the two
+    cannot drift).
 
     ViT + uint8 batches take the fast path: the CLIP normalization
     affine folds into the frozen patch-embed matmul (vit.embed_image)
     instead of a separate full-image pass — the same trick the train
-    step uses — then the fused kernels run the tower (same
-    TPU.USE_PALLAS selection as the trainer). ResNet and float inputs
-    keep the plain device_normalize + encode_image path."""
+    step uses — then the fused kernels run the tower in their no-grad
+    variants (same TPU.USE_PALLAS selection as the trainer; inference
+    paths never differentiate). ResNet and float inputs keep the plain
+    device_normalize + encode_image path. Features are returned raw
+    (encoder output dtype, not L2-normalized)."""
     from mvlpt_tpu.core.resnet import RNConfig
     from mvlpt_tpu.data.transforms import device_normalize
     from mvlpt_tpu.ops import select_attn_fn
 
     mean, std = tuple(mean), tuple(std)
     is_vit = not isinstance(clip_cfg, RNConfig)
-    # inference=True: the fused kernels' no-grad variants (no backward-
-    # residual HBM writes — zero-shot never differentiates)
     attn_fn = select_attn_fn(use_pallas, inference=True) if is_vit else None
 
     @jax.jit
-    def infer(backbone, text_features, images):
+    def encode(backbone, images):
         if is_vit and images.dtype == jnp.uint8:
             from mvlpt_tpu.core import vit as vit_mod
 
@@ -106,15 +106,28 @@ def make_zs_infer(clip_cfg, mean, std, use_pallas="auto"):
                 backbone["visual"], images,
                 patch_size=clip_cfg.vision_patch_size,
                 normalize=(mean, std))
-            img = clip_core.encode_image(
+            return clip_core.encode_image(
                 backbone, tokens, clip_cfg, pre_embedded=True,
                 attn_fn=attn_fn)
-        else:
-            # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
-            images = device_normalize(images, mean, std)
-            kw = {"attn_fn": attn_fn} if is_vit else {}
-            img = clip_core.encode_image(backbone, images, clip_cfg, **kw)
-        img = img.astype(jnp.float32)
+        # honor the TPU.DEVICE_NORMALIZE uint8 loader contract
+        images = device_normalize(images, mean, std)
+        kw = {"attn_fn": attn_fn} if is_vit else {}
+        return clip_core.encode_image(backbone, images, clip_cfg, **kw)
+
+    return encode
+
+
+def make_zs_infer(clip_cfg, mean, std, use_pallas="auto"):
+    """Jitted zero-shot ``infer(backbone, text_features, images) ->
+    logits`` — THE shipped zero-shot compute path (bench.py measures
+    zs_eval_img_s through this same builder so the number can't drift
+    from what ships). The image tower runs through make_image_encoder
+    (uint8 patch-embed normalization fold + no-grad fused kernels)."""
+    encode = make_image_encoder(clip_cfg, mean, std, use_pallas)
+
+    @jax.jit
+    def infer(backbone, text_features, images):
+        img = encode(backbone, images).astype(jnp.float32)
         img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
         scale = jnp.exp(backbone["logit_scale"].astype(jnp.float32))
         return scale * img @ text_features.T

@@ -292,3 +292,78 @@ def test_eval_transform_golden():
     want = (128 / 255 - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array(
         [0.26862954, 0.26130258, 0.27577711])
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_elevater_custom_task_metric_defaults_to_accuracy(cfg, tmp_path):
+    """A custom task with a self-describing manifest and NO
+    METRIC_OVERRIDES must construct (metric defaults to accuracy with a
+    note) — the metric row lookup used to raise a bare KeyError, which
+    broke even flows that never consult the metric (feature
+    extraction)."""
+    make_elevater_task(tmp_path, "my-local-task", 2, n_train=4, n_test=4,
+                       classnames=["good", "bad"])
+    cfg.DATASET.DATASET = "my-local-task"
+    cfg.DATASET.NUM_SAMPLES_PER_CLASS = 1
+    dm = ElevaterDataManager(cfg)
+    assert dm._metric_name == "accuracy"
+
+
+def test_align_meta_to_folders():
+    """ImageFolder labels come from SORTED folder order; metadata.json
+    lists classes in canonical label order. The aligner must place each
+    metadata name at the folder-derived label (or keep folder names
+    when it can't), never pair positionally across the two orders."""
+    from mvlpt_tpu.data.elevater.manifest import _align_meta_to_folders
+
+    # name-keyed folders sorting differently than the metadata order
+    assert _align_meta_to_folders(
+        ["cat", "dog"], ["dog", "cat"]) == ["cat", "dog"]
+    # synonym lists + normalization (underscores/case)
+    assert _align_meta_to_folders(
+        ["Great_Dane", "tabby"],
+        [["tabby", "tabby cat"], ["great dane"]]) == [
+            ["great dane"], ["tabby", "tabby cat"]]
+    # numeric folders index the metadata table (lexicographic sort of
+    # '0','1','10',... must not shift labels)
+    folders = sorted(str(i) for i in range(11))  # '0','1','10','2',...
+    meta = [f"class {i}" for i in range(11)]
+    aligned = _align_meta_to_folders(folders, meta)
+    assert aligned == [f"class {int(f)}" for f in folders]
+    # unmatchable names: keep folder names (label-aligned by construction)
+    assert _align_meta_to_folders(
+        ["n01440764", "n01443537"], ["tench", "goldfish"]) == [
+            "n01440764", "n01443537"]
+
+
+def test_imagefolder_metadata_names_follow_labels(cfg, tmp_path, monkeypatch):
+    """End-to-end ImageFolder fallback: when metadata lists the classes
+    in a different order than the sorted folders, lab2cname must still
+    map each label to the name of the folder that produced it."""
+    import mvlpt_tpu.data.elevater.manifest as man_mod
+    from tests.util_fixtures import _write_image
+
+    task_dir = tmp_path / "flipped-task"
+    for split in ("train", "test"):
+        for ci, cname in enumerate(["cat", "dog"]):
+            for i in range(2):
+                _write_image(str(task_dir / split / cname / f"{i}.jpg"),
+                             seed=ci * 10 + i, class_signal=ci)
+    real_meta = man_mod.load_metadata
+
+    def fake_meta():
+        meta = dict(real_meta())
+        meta["flipped-task"] = {
+            "classes": ["dog", "cat"],   # metadata order != sorted folders
+            "metric": "accuracy", "templates": ["a photo of a {}."]}
+        return meta
+
+    monkeypatch.setattr(man_mod, "load_metadata", fake_meta)
+    man = man_mod.load_task_manifest(str(tmp_path), "flipped-task")
+    # sorted folders: cat=0, dog=1 — names must follow the labels
+    assert [man_mod.first_classname(c) for c in man.classnames] == \
+        ["cat", "dog"]
+    by_label = {}
+    for it in man.train:
+        by_label.setdefault(it.labels[0], set()).add(
+            os.path.basename(os.path.dirname(it.impath)))
+    assert by_label == {0: {"cat"}, 1: {"dog"}}

@@ -209,3 +209,64 @@ def test_pipelined_inference_order_and_depth():
     assert events[:5] == [("dispatch", 0), ("dispatch", 1), ("yield", 0),
                           ("dispatch", 2), ("yield", 1)]
     assert list(pipelined_inference([], dispatch)) == []
+
+
+def _tsv_src(tmp_path, max_label):
+    """train/test index-TSVs whose labels reach max_label, with images."""
+    import os
+
+    from PIL import Image
+
+    src = tmp_path / "src"
+    (src / "images").mkdir(parents=True)
+    for split in ("train", "test"):
+        lines = []
+        for i in range(max_label + 1):
+            rel = f"images/{split}_{i}.jpg"
+            Image.new("RGB", (8, 8)).save(src / rel)
+            lines.append(f"{rel}\t{i}")
+        (src / f"{split}.tsv").write_text("\n".join(lines) + "\n")
+    return str(src)
+
+
+def test_build_manifest_known_task_tsv_subset_keeps_metadata_count(
+        tmp_path, monkeypatch):
+    """A TSV subset of a KNOWN task whose labels don't reach the last
+    classes (few-shot dumps do this routinely) must write the metadata
+    class count — the observed max+1 would make every strict load
+    refuse on the count-agreement guard."""
+    import json
+    import sys
+
+    from mvlpt_tpu.cli.build_manifest import cli
+    from mvlpt_tpu.data.elevater.manifest import load_task_manifest
+
+    src = _tsv_src(tmp_path, max_label=6)  # cifar-10 has 10 classes
+    root = tmp_path / "root"
+    monkeypatch.setattr(sys, "argv", [
+        "build_manifest", "--src", src, "--task", "cifar-10",
+        "--root", str(root)])
+    cli()
+    man = json.load(open(root / "cifar-10" / "manifest.json"))
+    assert man["num_classes"] == 10
+    # and the strict loader accepts it (metadata classnames apply)
+    loaded = load_task_manifest(str(root), "cifar-10")
+    assert loaded.num_classes == 10 and len(loaded.classnames) == 10
+
+
+def test_build_manifest_known_task_tsv_labels_exceed_table(
+        tmp_path, monkeypatch):
+    """Labels beyond the known task's class table are a real
+    inconsistency: fail at BUILD time with instructions, not at load."""
+    import sys
+
+    import pytest
+
+    from mvlpt_tpu.cli.build_manifest import cli
+
+    src = _tsv_src(tmp_path, max_label=11)  # 12 labels > cifar-10's 10
+    monkeypatch.setattr(sys, "argv", [
+        "build_manifest", "--src", src, "--task", "cifar-10",
+        "--root", str(tmp_path / "root")])
+    with pytest.raises(SystemExit, match="disagree"):
+        cli()
