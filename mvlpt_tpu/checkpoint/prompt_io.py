@@ -14,12 +14,25 @@ Keeps the reference's checkpoint contract (SURVEY.md §5):
 
 State dicts are flat {dotted.path: np.ndarray} views of the prompt
 pytree, so checkpoints are framework-agnostic data.
+
+``load_prompt_checkpoint`` additionally consumes the reference's OWN
+``torch.save`` archives — both what the reference trainer writes during
+training (Dassl save_checkpoint payload, keys state_dict/epoch/
+val_result; /root/reference/trainers/mvlpt.py:1090-1125) and the
+released averaged MCoOp/MVPT/MUPT multitask inits
+(/root/reference/scripts/avg_ckpt.py:58-66, README.md:33). Reference
+key names/layouts (``ctx``, ``vpt_embeddings(_deep)``, ``vpt_proj``,
+``mvlpt_proj_ctx_*`` pre/post Linears, the ``mvlpt_proj.resblocks.*``
+1-layer coupler transformer, ``cocoop_ctx``, ``meta_net.*``) are mapped
+into this repo's prompt-pytree layout, including the torch Linear
+(out,in)→(in,out) kernel transposes.
 """
 
 from __future__ import annotations
 
 import os
 import pickle
+import zipfile
 
 import jax
 import numpy as np
@@ -69,11 +82,135 @@ def save_prompt_checkpoint(path: str, prompt_params, epoch: int,
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
-def load_prompt_checkpoint(path: str) -> dict:
+# --- reference torch-archive interop ---------------------------------------
+
+# Direct tensor renames: reference learner attribute -> our dotted key
+# (attribute names at /root/reference/trainers/mvlpt.py:167-289).
+_REF_DIRECT = {
+    "ctx": "coop.ctx",
+    "vpt_embeddings": "vpt.embeddings",
+    "vpt_embeddings_deep": "vpt.embeddings_deep",
+    "cocoop_ctx": "cocoop.ctx",
+}
+
+# torch nn.Linear modules: weight is (out, in); our kernel is (in, out).
+_REF_LINEAR = {
+    "vpt_proj": "vpt.proj",
+    "mvlpt_proj_ctx_coop_pre": "mvlpt_proj.coop_pre",
+    "mvlpt_proj_ctx_coop_post": "mvlpt_proj.coop_post",
+    "mvlpt_proj_ctx_vpt_pre": "mvlpt_proj.vpt_pre",
+    "mvlpt_proj_ctx_vpt_post": "mvlpt_proj.vpt_post",
+    "meta_net.linear1": "cocoop.meta_net.linear1",
+    "meta_net.linear2": "cocoop.meta_net.linear2",
+}
+
+
+def _tensor_to_np(v) -> np.ndarray:
+    if hasattr(v, "detach"):  # torch tensor
+        v = v.detach().cpu()
+        if str(v.dtype) == "torch.bfloat16":
+            v = v.float()
+        v = v.numpy()
+    v = np.asarray(v)
+    # CLIP-native fp16 prompt params: upcast — our masters are fp32 and
+    # averaging in fp16 would lose the seeds' low bits.
+    return v.astype(np.float32) if v.dtype == np.float16 else v
+
+
+def is_reference_state_dict(sd: dict) -> bool:
+    """True if the flat keys use the reference learner's torch names."""
+    for k in sd:
+        if k in _REF_DIRECT or k.startswith("mvlpt_proj.resblocks."):
+            return True
+        if any(k == f"{m}.weight" or k == f"{m}.bias" for m in _REF_LINEAR):
+            return True
+    return False
+
+
+def map_reference_state_dict(sd: dict) -> dict[str, np.ndarray]:
+    """Reference prompt-learner state_dict -> our flat dotted numpy keys.
+
+    The inverse of tests' params_from_ref_learner: same layout rules as
+    checkpoint/convert.py applies to the frozen towers (Linear kernels
+    transposed, OpenAI resblocks stacked along a leading layer axis).
+    `token_prefix`/`token_suffix` buffers are dropped (mvlpt.py:1117-1121)
+    and unknown keys are passed through untouched for apply_state_dict's
+    non-strict skip accounting.
+    """
+    sd = {k: _tensor_to_np(v) for k, v in sd.items()}
+    out: dict[str, np.ndarray] = {}
+    n_blocks = 0
+    for k, v in sd.items():
+        if "token_prefix" in k or "token_suffix" in k:
+            continue
+        if k in _REF_DIRECT:
+            out[_REF_DIRECT[k]] = v
+            continue
+        mod, _, leaf = k.rpartition(".")
+        if mod in _REF_LINEAR and leaf in ("weight", "bias"):
+            if leaf == "weight":
+                out[f"{_REF_LINEAR[mod]}.kernel"] = v.T
+            else:
+                out[f"{_REF_LINEAR[mod]}.bias"] = v
+            continue
+        if k.startswith("mvlpt_proj.resblocks."):
+            n_blocks = max(n_blocks, int(k.split(".")[2]) + 1)
+            continue  # handled as a stacked group below
+        out[k] = v  # unknown key: pass through (skipped non-strictly)
+    if n_blocks:
+        from .convert import _stack_openai_blocks
+
+        stacked = _stack_openai_blocks(sd, "mvlpt_proj", n_blocks)
+        out.update(flatten_params(stacked, "mvlpt_proj.transformer."))
+    return out
+
+
+def _read_torch_payload(path: str) -> dict:
+    """Read a torch.save archive (zip or legacy pickle) on the host.
+
+    torch-on-host is already a supported pattern (convert.py:356-371).
+    Accepts both the Dassl payload dict and a bare state_dict.
+    """
+    import torch
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except TypeError:  # older torch without weights_only
+        obj = torch.load(path, map_location="cpu")
+    if isinstance(obj, dict) and "state_dict" in obj:
+        sd, epoch = obj["state_dict"], int(obj.get("epoch") or 0)
+        val = obj.get("val_result")
+    else:
+        sd, epoch, val = obj, 0, None
+    return {
+        "state_dict": {k: _tensor_to_np(v) for k, v in sd.items()},
+        "epoch": epoch,
+        "val_result": None if val is None else float(val),
+    }
+
+
+def _read_payload(path: str) -> dict:
+    """Load either this repo's numpy pickle or a reference torch archive."""
+    if zipfile.is_zipfile(path):  # torch.save zip format
+        return _read_torch_payload(path)
     with open(path, "rb") as f:
-        payload = pickle.load(f)
+        try:
+            payload = pickle.load(f)
+        except Exception:
+            payload = None
+    if isinstance(payload, dict) and "state_dict" in payload:
+        return payload
+    # Legacy torch serialization: the first pickle frame is a magic
+    # number, so the plain pickle.load above returns an int (or fails).
+    return _read_torch_payload(path)
+
+
+def load_prompt_checkpoint(path: str) -> dict:
+    payload = _read_payload(path)
     sd = payload["state_dict"]
     sd = {k.replace("upt_proj", "mvlpt_proj"): v for k, v in sd.items()}
+    if is_reference_state_dict(sd):
+        sd = map_reference_state_dict(sd)
     for drop in list(sd):
         if "token_prefix" in drop or "token_suffix" in drop:
             del sd[drop]
