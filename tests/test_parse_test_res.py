@@ -1,0 +1,88 @@
+"""Result-aggregation CLI: mean/std/CI95 across seeds and the
+read_record grid sweep (round-4 verdict item 6).
+
+Fixture trees mimic what the trainer writes: ``log.txt`` ending in a
+``results {...}`` line (the contract of mvlpt.py:1062/1083 that
+scripts/parse_test_res.py and read_record.py:50-96 scrape).
+"""
+
+import csv
+import os
+import sys
+
+from mvlpt_tpu.cli.parse_test_res import (
+    aggregate, final_metrics, grid_rows, parse_log)
+
+
+def _write_log(d, value, key="accuracy", extra_lines=()):
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "log.txt"), "w") as f:
+        for line in extra_lines:
+            f.write(line + "\n")
+        f.write("Evaluate on the *test* set\n")
+        f.write(f"results {{'{key}': {value}}}\n")
+
+
+def test_parse_and_aggregate(tmp_path):
+    for seed, acc in (("seed1", 60.0), ("seed2", 62.0), ("seed3", 64.0)):
+        _write_log(tmp_path / seed, acc,
+                   extra_lines=["results {'accuracy': 1.0}"])  # val epochs
+    # last results line wins (final test), earlier val prints ignored
+    assert final_metrics(str(tmp_path / "seed1")) == {"accuracy": 60.0}
+    assert len(parse_log(str(tmp_path / "seed1" / "log.txt"))) == 2
+    summary = aggregate([str(tmp_path / s) for s in
+                         ("seed1", "seed2", "seed3")])
+    acc = summary["accuracy"]
+    assert acc["mean"] == 62.0 and acc["n"] == 3
+    assert abs(acc["std"] - 1.632993) < 1e-5
+
+
+def test_grid_rows_shape_and_missing(tmp_path):
+    """read_record.py:50-96 CSV shape: header [' '] + datasets, one row
+    per seed, blank cell per missing run, misses reported."""
+    setting = "vit_b16_5shots/nctx16_csc_ctp"
+    datasets = ["cifar-10", "mnist", "gtsrb"]
+    vals = {("cifar-10", "1"): 91.3, ("cifar-10", "2"): 90.7,
+            ("mnist", "1"): 99.1, ("mnist", "2"): 99.2,
+            ("gtsrb", "1"): 70.5}  # gtsrb seed2 missing
+    for (ds, seed), v in vals.items():
+        _write_log(tmp_path / ds / setting / f"seed{seed}", v)
+
+    rows, missed = grid_rows(str(tmp_path), datasets, setting, ["1", "2"])
+    assert rows[0] == [" ", "cifar-10", "mnist", "gtsrb"]
+    assert rows[1] == ["seed 1", 91.3, 99.1, 70.5]
+    assert rows[2] == ["seed 2", 90.7, 99.2, " "]
+    assert missed == [("gtsrb", "2")]
+
+
+def test_grid_cli_writes_csv(tmp_path, monkeypatch, capsys):
+    from mvlpt_tpu.cli.parse_test_res import cli
+
+    setting = "s"
+    _write_log(tmp_path / "cifar-10" / setting / "seed1", 88.8)
+    out = str(tmp_path / "grid.csv")
+    monkeypatch.setattr(sys, "argv", [
+        "parse_test_res", str(tmp_path), "--grid",
+        "--datasets", "cifar-10,mnist", "--setting", setting,
+        "--seeds", "1", "--out", out])
+    cli()
+    printed = capsys.readouterr().out
+    assert "missed mnist seed 1" in printed
+    assert "okay we missed 1 entries" in printed
+    with open(out, newline="") as f:
+        got = list(csv.reader(f))
+    assert got == [[" ", "cifar-10", "mnist"], ["seed 1", "88.8", " "]]
+
+
+def test_grid_rotated_logs_and_keyword(tmp_path):
+    """log.txt* glob (rotated logs count, read_record.py:73) and
+    keyword selection for multi-metric results dicts."""
+    d = tmp_path / "ds" / "s" / "seed1"
+    os.makedirs(d)
+    with open(d / "log.txt-2026-01-01", "w") as f:
+        f.write("results {'macro_f1': 55.5, 'accuracy': 77.7}\n")
+    rows, missed = grid_rows(str(tmp_path), ["ds"], "s", ["1"],
+                             keyword="macro_f1")
+    assert rows[1] == ["seed 1", 55.5] and missed == []
+    rows, _ = grid_rows(str(tmp_path), ["ds"], "s", ["1"])
+    assert rows[1] == ["seed 1", 77.7]  # default: accuracy
