@@ -191,12 +191,22 @@ def cli():
         raise SystemExit(f"no train/test ImageFolder or *.tsv found in {args.src}")
 
     from mvlpt_tpu.data.elevater import class_map, load_metadata
+    from mvlpt_tpu.data.elevater.manifest import _align_meta_to_folders
 
     n_classes, own_classnames = n_from_src, None
     known = args.task in load_metadata()
     n_meta = len(class_map(args.task)) if known else None
     if known and n_meta == n_from_src:
         n_classes = n_meta
+        if folder_classes:
+            # Row labels use SORTED folder order, but at load time a
+            # classnames-free manifest resolves to class_map(task) in
+            # metadata canonical order — every prompt would silently
+            # pair with the wrong label whenever the two orders differ.
+            # Align at build time and write the aligned list as the
+            # manifest's authoritative classnames.
+            own_classnames = _align_meta_to_folders(
+                folder_classes, class_map(args.task))
     elif folder_classes:
         # Task unknown to metadata.json, or the source carries a
         # different class count (e.g. a local subset): make the manifest

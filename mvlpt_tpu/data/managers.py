@@ -33,7 +33,10 @@ class CoopMultitaskDataManager:
     """Concatenate CoOp datasets with offset labels and task domains."""
 
     def __init__(self, cfg):
-        self._task_names = cfg.DATASET.DATASET.split(",")
+        # --dataset sets DATASET.DATASET; a bare --dataset-config-file
+        # (the CoOp/CoCoOp protocol drivers, Dassl style) sets only
+        # DATASET.NAME — accept either.
+        self._task_names = (cfg.DATASET.DATASET or cfg.DATASET.NAME).split(",")
         self._id2task = dict(enumerate(self._task_names))
         self._task_class_idx: dict[str, tuple[int, int]] = {}
 
@@ -178,22 +181,29 @@ def _make_loader(cfg, items, transform, target_fn, batch_size, shuffle,
         seed=max(cfg.SEED, 0), drop_last=shuffle, multitask=multitask)
 
 
+_METRIC_DEFAULT_NOTED: set[str] = set()
+
+
 def _metric_name_for(task: str, overrides: dict) -> str:
     """Metric for a task: override > metadata.json > 'accuracy'.
 
     Custom tasks (self-describing manifests) have no metadata.json
     metric row; a bare lookup would KeyError even for flows that never
     consult the metric (feature extraction). Default to accuracy with a
-    note — eval flows can pick one with DATASET.METRIC_OVERRIDES."""
+    note — eval flows can pick one with DATASET.METRIC_OVERRIDES. The
+    note prints once per task, not on every manager construction
+    (train/eval/extract each build one)."""
     metric = overrides.get(task)
     if metric is not None:
         return metric
     try:
         return ev.class_map_metric(task)
     except KeyError:
-        print(f"[data] task {task!r} not in metadata.json: metric "
-              f"defaults to 'accuracy' (override with "
-              f"DATASET.METRIC_OVERRIDES '{task}=<metric>')")
+        if task not in _METRIC_DEFAULT_NOTED:
+            _METRIC_DEFAULT_NOTED.add(task)
+            print(f"[data] task {task!r} not in metadata.json: metric "
+                  f"defaults to 'accuracy' (override with "
+                  f"DATASET.METRIC_OVERRIDES '{task}=<metric>')")
         return "accuracy"
 
 

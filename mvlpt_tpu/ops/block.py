@@ -654,7 +654,15 @@ def _mlp_rows_group(b: int, s: int) -> int:
     8.59 -> 8.40 ms/step (MFU 0.461 -> 0.471) — a real but small win
     (M is the MXU's streaming axis, so short M costs pipeline
     drain/fixed overhead per program, not tile fill; BASELINE.md
-    round 4). s >= 128 (ViT-B/16's 208): gr=1, unchanged."""
+    round 4). s >= 128 (ViT-B/16's 208): gr=1, unchanged.
+
+    Stop rule: the PREVIOUS group must still be short (gr * s < 128)
+    before doubling, so the merged M may land anywhere in [128, 256)
+    (s=54 -> gr=4 -> M=216). That is intentional and differs from
+    _attn_rows_group's ``cand * s <= 128``: the attention merge pays
+    quadratic softmax/score waste per extra row so it must bound the
+    RESULT, while the MLP merge is linear in M — overshooting 128 only
+    helps amortization (M=216 is the measured 8.40 ms config)."""
     gr = 1
     for cand in (2, 4, 8):
         if b % cand or gr * s >= 128:

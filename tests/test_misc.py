@@ -270,3 +270,45 @@ def test_build_manifest_known_task_tsv_labels_exceed_table(
         "--root", str(tmp_path / "root")])
     with pytest.raises(SystemExit, match="disagree"):
         cli()
+
+
+def test_build_manifest_image_folder_known_task_writes_aligned_classnames(
+        tmp_path, monkeypatch):
+    """ImageFolder source for a metadata-known task: row labels use
+    SORTED folder order, so the built manifest must carry classnames
+    aligned to that order — a classnames-free manifest would resolve to
+    class_map(task) in metadata canonical order at load time and pair
+    every prompt with the wrong label whenever the orders differ."""
+    import json
+    import sys
+
+    from PIL import Image
+
+    from mvlpt_tpu.cli.build_manifest import cli
+    from mvlpt_tpu.data.elevater.manifest import load_task_manifest
+
+    # 'Truck' sorts before every lowercase name, so label 0 is truck —
+    # metadata canonical order has truck LAST (index 9).
+    folders = ["Truck", "airplane", "automobile", "bird", "cat", "deer",
+               "dog", "frog", "horse", "ship"]
+    src = tmp_path / "src"
+    for split in ("train", "test"):
+        for cls in folders:
+            d = src / split / cls
+            d.mkdir(parents=True)
+            Image.new("RGB", (8, 8)).save(d / "x.jpg")
+    root = tmp_path / "root"
+    monkeypatch.setattr(sys, "argv", [
+        "build_manifest", "--src", str(src), "--task", "cifar-10",
+        "--root", str(root)])
+    cli()
+    man = json.load(open(root / "cifar-10" / "manifest.json"))
+    assert man["num_classes"] == 10
+    # aligned: metadata spelling at the folder-derived label
+    assert man["classnames"][0] == "truck"
+    assert man["classnames"][1] == "airplane"
+    # and the loader pairs label 0's rows with 'truck'
+    loaded = load_task_manifest(str(root), "cifar-10")
+    assert loaded.classnames[0] == "truck"
+    truck_rows = [p for p, ls in man["splits"]["train"] if ls == [0]]
+    assert len(truck_rows) == 1 and "Truck" in truck_rows[0]
