@@ -79,6 +79,7 @@ def _leaves(tree):
     return jax.tree_util.tree_leaves(tree)
 
 
+@pytest.mark.slow
 def test_multitask_coop_training(tmp_path):
     make_coop_dataset(tmp_path / "data")
     make_coop_dataset(tmp_path / "data", "caltech-101", ("face", "leopard"),
@@ -96,6 +97,7 @@ def test_multitask_coop_training(tmp_path):
     assert trainer.dm._task_class_idx["Caltech101"] == (2, 4)
 
 
+@pytest.mark.slow
 def test_elevater_single_task_training(tmp_path):
     make_elevater_task(tmp_path / "data", "cifar-10", 10, n_train=20, n_test=8)
     out = str(tmp_path / "out_ev")
@@ -122,6 +124,7 @@ def test_zeroshot_clip(tmp_path):
     assert trainer.text_features.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(tmp_path):
     make_coop_dataset(tmp_path / "data")
     out = str(tmp_path / "out_resume")
@@ -153,6 +156,7 @@ def test_zeroshot_ensembling(tmp_path):
     assert trainer.text_features.shape == (2, 16)
 
 
+@pytest.mark.slow
 def test_finetune_clip_trainer(tmp_path):
     make_elevater_task(tmp_path / "data", "cifar-10", 10, n_train=16, n_test=8)
     trainer = _run([
@@ -171,6 +175,7 @@ def test_finetune_clip_trainer(tmp_path):
         str(tmp_path / "out_ft"), "prompt_learner", "model.pth.tar-2"))
 
 
+@pytest.mark.slow
 def test_finetune_clip_tpu_fast_options(tmp_path):
     """FinetuneCLIP under the tpu_fast config knobs: DEVICE_NORMALIZE
     loaders emit raw uint8 (the model must normalize on device — it fed
@@ -215,6 +220,7 @@ def jnp_asarray(x):
     return jnp.asarray(x)
 
 
+@pytest.mark.slow
 def test_warm_start_transfer_training(tmp_path):
     """Target-task adaptation (SURVEY §3.3): --model-dir loads the source
     prompt, then training continues on the target task."""
@@ -285,6 +291,7 @@ def test_zeroshot_honors_device_normalize(tmp_path):
     np.testing.assert_allclose(l_f32, l_u8, rtol=0, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_single_task_multilabel_training(tmp_path):
     """Single ELEVATER multilabel task (voc-style): k-hot targets through
     the soft-CE path and the 11-pt mAP metric."""
@@ -302,6 +309,7 @@ def test_single_task_multilabel_training(tmp_path):
     assert "11point_mAP" in log
 
 
+@pytest.mark.slow
 def test_device_normalize_windowed_training(tmp_path):
     """TPU.DEVICE_NORMALIZE (uint8 loader batches, normalize folded into
     the frozen stem) + STEPS_PER_DISPATCH windowed dispatch with a tail
@@ -347,6 +355,7 @@ def test_zero_tunable_params_fails_loudly(tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_mvlpt_native_backend_end_to_end(tmp_path):
     """Full CLI surface over DATALOADER.BACKEND native (C++ decode/
     resample core): argv -> manager -> native loader -> train -> eval.

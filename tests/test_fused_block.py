@@ -206,6 +206,7 @@ def test_inference_model_swap():
     assert _inference_model(m_inf) is m_inf
 
 
+@pytest.mark.slow
 def test_full_model_with_fused_blocks():
     """MVLPT forward+grad through the fused path on tiny towers."""
     import dataclasses
@@ -357,6 +358,7 @@ class TestShardedFusedBlock:
         assert getattr(tp_marker, "fused_block", False)
         assert tp_marker.mesh is tp_mesh
 
+    @pytest.mark.slow
     def test_full_train_step_on_mesh_with_sharded_kernels(self):
         """End-to-end: jitted windowed train step over a dp=4 mesh with
         the shard_map-wrapped kernels matches the XLA-path step."""

@@ -16,6 +16,9 @@ from util_fixtures import make_elevater_task
 
 
 
+
+pytestmark = pytest.mark.slow  # heavy: deselected by default, run with -m ""
+
 def test_lpclip_rn50_extract_and_probe(tmp_path, monkeypatch):
     monkeypatch.setenv("MVLPT_TPU_RANDOM_CLIP", "1")
     root = tmp_path / "elevater"

@@ -30,6 +30,9 @@ from mvlpt_tpu.models.zoo import get_model  # noqa: E402
 # torch reference modules in the canonical timm / torchvision layouts
 # ---------------------------------------------------------------------------
 
+
+pytestmark = pytest.mark.slow  # heavy: deselected by default, run with -m ""
+
 class TimmAttention(nn.Module):  # timm vision_transformer.Attention layout
     def __init__(self, dim, num_heads):
         super().__init__()

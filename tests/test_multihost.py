@@ -195,6 +195,7 @@ def test_train_step_consumes_assembled_batch():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_smoke_script_single_process_rehearsal():
     """scripts/multihost_smoke.py must stay runnable: execute its exact
     command sequence single-process (MVLPT_TPU_SMOKE_SINGLE=1, 8 virtual

@@ -27,6 +27,9 @@ import sys
 
 import pytest
 
+
+pytestmark = pytest.mark.slow  # heavy: deselected by default, run with -m ""
+
 SCRIPT = "/root/repo/scripts/multihost_smoke.py"
 
 

@@ -7,6 +7,9 @@ import sys
 
 import pytest
 
+
+pytestmark = pytest.mark.slow  # heavy: deselected by default, run with -m ""
+
 _PATH = os.path.join(os.path.dirname(__file__), "..", "scripts",
                      "pod_loss_check.py")
 

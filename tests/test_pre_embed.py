@@ -121,6 +121,7 @@ def test_make_zs_infer_uint8_matches_float_path():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multi_step_pre_embed_matches_plain_multi():
     """make_train_step_multi(pre_embed=True, normalize=...) from uint8
     == the plain multi-step fed host-normalized fp32 images."""

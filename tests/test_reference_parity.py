@@ -45,6 +45,9 @@ from mvlpt_tpu.prompts.learner import (
 from mvlpt_tpu.config import get_cfg_default
 
 
+
+pytestmark = pytest.mark.slow  # heavy: deselected by default, run with -m ""
+
 @pytest.fixture(scope="module")
 def ref():
     clip_model, clip_pkg, mvlpt = load_reference()

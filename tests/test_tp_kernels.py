@@ -22,6 +22,9 @@ from mvlpt_tpu.parallel.mesh import create_mesh
 S, W, HEADS = 16, 64, 4
 
 
+
+pytestmark = pytest.mark.slow  # heavy: deselected by default, run with -m ""
+
 def _params(rng, dtype=jnp.float32):
     f = lambda *sh: jnp.asarray(
         rng.randn(*sh).astype(np.float32) * 0.05).astype(dtype)

@@ -260,6 +260,7 @@ def test_windowed_epoch_matches_single_dispatch_math():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cocoop_remat_chunk_tower_grads():
     """CoCoOp's chunked text tower remats past 8k conditioned rows (or
     when model.remat is set): at 1000 classes the un-rematted lax.map

@@ -38,6 +38,9 @@ from mvlpt_tpu.train.optim import build_optimizer  # noqa: E402
 from mvlpt_tpu.train.train_step import (  # noqa: E402
     init_train_state, make_train_step)
 
+
+pytestmark = pytest.mark.slow  # heavy: deselected by default, run with -m ""
+
 LR = 0.02
 MOMENTUM = 0.9
 WEIGHT_DECAY = 5e-4
