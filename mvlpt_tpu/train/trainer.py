@@ -69,6 +69,16 @@ def load_clip_backbone(cfg, dtype):
             }
             return clip_core.cast_backbone(params, dtype), rn_cfg
         clip_cfg = CLIPConfig.for_backbone(name)
+        arch_env = os.environ.get("MVLPT_TPU_RANDOM_CLIP_ARCH")
+        if arch_env:
+            # test seam for subprocess runs (shell-driver e2e tests):
+            # JSON CLIPConfig field overrides, the out-of-process
+            # equivalent of the tiny-arch monkeypatch the in-process
+            # tests use. Only honored on the random-init path.
+            import dataclasses as _dc
+            import json as _json
+
+            clip_cfg = _dc.replace(clip_cfg, **_json.loads(arch_env))
         params = clip_core.init_clip_params(jax.random.PRNGKey(0), clip_cfg)
         return clip_core.cast_backbone(params, dtype), clip_cfg
     env = os.environ.get("MVLPT_TPU_CLIP_CKPT")

@@ -1,0 +1,153 @@
+"""The CoOp/CoCoOp protocol shell drivers, executed end to end
+(round-4 verdict item 4).
+
+The reference publishes its protocols as run scripts
+(/root/reference/scripts/cocoop/{base2new_train,base2new_test,xd_train,
+xd_test}.sh, /root/reference/scripts/coop/{main,eval,zeroshot}.sh); the
+equivalents under scripts/coop and scripts/cocoop map the same
+variables onto this repo's flag surface. These tests run the actual
+.sh files in subprocesses on the synthetic CoOp fixture with a
+random-init CLIP, asserting the full protocol: base-half training,
+new-half eval from the trained checkpoint, cross-dataset
+train-then-transfer, the skip-if-exists guard, and zero-shot eval.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.util_fixtures import make_coop_dataset
+
+pytestmark = pytest.mark.slow  # subprocess runs with full-size towers
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# opts appended by every leg: 1 epoch, tiny batches, 32x32 input.
+# Values must be single tokens: EXTRA_OPTS is word-split by the shell.
+TINY_OPTS = ("OPTIM.MAX_EPOCH 1 OPTIM.WARMUP_EPOCH 0 "
+             "DATALOADER.TRAIN_X.BATCH_SIZE 4 DATALOADER.TEST.BATCH_SIZE 4 "
+             "DATALOADER.NUM_WORKERS 0 INPUT.SIZE (32,32) "
+             "TRAIN.PRINT_FREQ 1")
+
+# subprocesses can't reach the in-process tiny-arch monkeypatch; the
+# MVLPT_TPU_RANDOM_CLIP_ARCH env seam (trainer.load_clip_backbone)
+# shrinks the random-init towers the same way
+TINY_ARCH = ('{"image_resolution":32,"vision_layers":2,"vision_width":64,'
+             '"vision_patch_size":8,"embed_dim":16,"transformer_width":32,'
+             '"transformer_heads":2,"transformer_layers":2}')
+
+
+def _env(data, out, **extra):
+    env = dict(os.environ)
+    # strip the axon TPU-tunnel sitecustomize so the children run CPU
+    # (same dance as test_multihost_smoke.py)
+    pypath = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+              if p and "axon" not in p]
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": os.pathsep.join([REPO] + pypath),
+        "MVLPT_TPU_RANDOM_CLIP": "1",
+        "MVLPT_TPU_RANDOM_CLIP_ARCH": TINY_ARCH,
+        "DATA": str(data),
+        "OUT": str(out),
+        "EXTRA_OPTS": TINY_OPTS,
+        "CFG": "vit_b32",
+        "SHOTS": "1",
+    })
+    env.update({k: str(v) for k, v in extra.items()})
+    return env
+
+
+def _run(script, args, env):
+    proc = subprocess.run(
+        ["bash", os.path.join(REPO, "scripts", script), *args],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"{script} {args} failed:\n{proc.stdout[-4000:]}\n{proc.stderr[-4000:]}")
+    return proc.stdout
+
+
+def test_base2new_protocol(tmp_path):
+    """base2new_train.sh on the BASE half, then base2new_test.sh on the
+    NEW half from the trained checkpoint — the published CoCoOp
+    generalization protocol (run with TRAINER=CoOp for speed; the
+    script's TRAINER env is exactly the reference's commented switch)."""
+    make_coop_dataset(tmp_path / "data",
+                      classes=("abyssinian", "beagle", "chihuahua", "pug"))
+    out = tmp_path / "out"
+    env = _env(tmp_path / "data", out, TRAINER="CoOp", LOADEP="1")
+
+    _run("cocoop/base2new_train.sh", ["oxford_pets", "1"], env)
+    train_dir = (out / "base2new" / "train_base" / "oxford_pets" /
+                 "shots_1" / "CoOp" / "vit_b32" / "seed1")
+    ckpt = train_dir / "prompt_learner" / "model.pth.tar-1"
+    assert ckpt.exists(), "training leg wrote no epoch-1 checkpoint"
+    train_log = (train_dir / "log.txt").read_text()
+    assert "SUBSAMPLE_CLASSES: base" in train_log
+
+    # skip-if-exists guard (reference base2new_train.sh:21)
+    assert "skip this job" in _run(
+        "cocoop/base2new_train.sh", ["oxford_pets", "1"], env)
+
+    _run("cocoop/base2new_test.sh", ["oxford_pets", "1"], env)
+    test_dir = (out / "base2new" / "test_new" / "oxford_pets" /
+                "shots_1" / "CoOp" / "vit_b32" / "seed1")
+    test_log = (test_dir / "log.txt").read_text()
+    assert "SUBSAMPLE_CLASSES: new" in test_log
+    assert "results" in test_log  # eval ran and reported
+
+
+def test_xd_protocol(tmp_path):
+    """xd_train.sh on the source dataset, xd_test.sh transferring the
+    prompt to a target dataset (--model-dir + --eval-only)."""
+    # source 'imagenet' and target 'oxford_pets' both synthetic; the xd
+    # scripts parameterize the source via DATASET/SRC_DATASET env
+    make_coop_dataset(tmp_path / "data",
+                      classes=("abyssinian", "beagle"))
+    out = tmp_path / "out"
+    env = _env(tmp_path / "data", out, TRAINER="CoOp", LOADEP="1",
+               DATASET="oxford_pets", SRC_DATASET="oxford_pets")
+
+    _run("cocoop/xd_train.sh", ["1"], env)
+    src_dir = out / "oxford_pets" / "CoOp" / "vit_b32_1shots" / "seed1"
+    assert (src_dir / "prompt_learner" / "model.pth.tar-1").exists()
+
+    _run("cocoop/xd_test.sh", ["oxford_pets", "1"], env)
+    tgt_log = (out / "evaluation" / "CoOp" / "vit_b32_1shots" /
+               "oxford_pets" / "seed1" / "log.txt").read_text()
+    assert "results" in tgt_log
+
+
+def test_coop_main_and_zeroshot(tmp_path):
+    """coop/main.sh (one seed) writes the nctx/csc/ctp-keyed run dir;
+    coop/zeroshot.sh evaluates ZeroshotCLIP without training."""
+    make_coop_dataset(tmp_path / "data")
+    out = tmp_path / "out"
+    env = _env(tmp_path / "data", out, SEEDS="1")
+
+    _run("coop/main.sh",
+         ["oxford_pets", "vit_b32", "end", "2", "1", "False"], env)
+    run_dir = (out / "oxford_pets" / "CoOp" / "vit_b32_1shots" /
+               "nctx2_cscFalse_ctpend" / "seed1")
+    assert (run_dir / "prompt_learner" / "model.pth.tar-1").exists()
+    log = (run_dir / "log.txt").read_text()
+    assert "N_CTX: 2" in log and "CLASS_TOKEN_POSITION: end" in log
+
+    _run("coop/zeroshot.sh", ["oxford_pets", "vit_b32"], env)
+    zs_log = (out / "ZeroshotCLIP" / "vit_b32" / "oxford_pets" /
+              "log.txt").read_text()
+    assert "results" in zs_log
+
+    # coop/eval.sh: cross-dataset eval of an "imagenet"-trained context
+    # (the synthetic run above stands in, linked at the imagenet path)
+    os.symlink(out / "oxford_pets", out / "imagenet")
+    env_eval = dict(env, NCTX="2", CSC="False", CTP="end", LOADEP="1",
+                    SEEDS="1")
+    _run("coop/eval.sh", ["oxford_pets", "vit_b32"], env_eval)
+    ev_log = (out / "evaluation" / "CoOp" / "vit_b32_1shots" /
+              "nctx2_cscFalse_ctpend" / "oxford_pets" / "seed1" /
+              "log.txt").read_text()
+    assert "results" in ev_log
