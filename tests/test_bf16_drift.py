@@ -97,3 +97,32 @@ def test_fused_vs_xla_bf16(fixture):
     got = _zeroshot_logits(bf16, cfg, imgs_bf, ids, attn_fn=bops.FUSED)
     rel = _check_drift(ref, got, FUSED_REL_TOL)
     print(f"fused-vs-xla bf16 drift: {rel:.4f} of logit spread")
+
+
+@pytest.mark.slow  # 3 full tiny-tower trajectories + interpret kernels
+def test_training_trajectory_drift_inside_seed_spread():
+    """Small-N CPU analogue of scripts/bf16_drift_train.py (round-4
+    verdict item 2): N SGD steps of the production path (bf16 compute +
+    fused kernels in interpret mode + windowed dispatch) must land
+    INSIDE the fp32 path's own spread under a benign perturbation (a
+    fresh same-distribution data stream). The real-chip measurement
+    (--backbone b16) is recorded in BASELINE.md."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "bf16_drift_train.py")
+    spec = importlib.util.spec_from_file_location("bf16_drift_train", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = mod.measure(backbone="tiny", steps=12, window=4, batch=8, n_cls=8)
+    # dtype+kernels+windowing drift stays well inside the data-stream
+    # yardstick; exact margins are environment noise, the CONTRACT is
+    # ratio < 1 with headroom
+    assert out["param_ratio"] < 0.5, out
+    assert out["loss_ratio"] < 0.5, out
+    # the kernel-only component is bf16-rounding-noise-sized too: the
+    # same order as the full production drift, nowhere near the
+    # data-stream spread (measured 0.0017 vs spread 0.030)
+    assert out["param_dist_kernels_only"] < 0.5 * out["param_dist_seed"], out
