@@ -213,3 +213,36 @@ def test_model_dir_accepts_torch_archive(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(trainer.state.prompt_params["coop"]["ctx"]),
         ctx.numpy(), rtol=1e-6)
+
+
+def test_avg_ckpt_cli_mixed_formats(ref, tmp_path, monkeypatch):
+    """mvlpt-avg-ckpt through argv on one reference torch archive + one
+    native checkpoint: the flagship 'average the released seeds into a
+    transfer init' workflow (avg_ckpt.py:21-66) on mixed formats."""
+    import pickle
+    import sys
+
+    from mvlpt_tpu.cli.avg_ckpt import cli as avg_cli
+
+    cfg = _make_cfg(**MODES["upt"])
+    ref_model, _m, _p, ref_params, _c = _build_both(ref, cfg)
+    _save_ref_archive(tmp_path / "seed1", ref_model.prompt_learner,
+                      epoch=5, val=50.0)
+    bumped = jax.tree_util.tree_map(lambda x: x + 1.0, ref_params)
+    save_prompt_checkpoint(
+        str(tmp_path / "seed2" / "prompt_learner" / "model-best.pth.tar"),
+        bumped, epoch=5, val_result=70.0)
+
+    monkeypatch.setattr(sys, "argv", [
+        "avg_ckpt", "--dirs", str(tmp_path / "seed1"), str(tmp_path / "seed2"),
+        "--output-dir", str(tmp_path / "avg")])
+    avg_cli()
+    with open(tmp_path / "avg" / "prompt_learner" / "model-best.pth.tar",
+              "rb") as f:
+        payload = pickle.load(f)
+    want = flatten_params(jax.device_get(ref_params))
+    assert payload["val_result"] == pytest.approx(60.0)
+    assert sorted(payload["state_dict"]) == sorted(want)
+    for k, v in want.items():
+        np.testing.assert_allclose(payload["state_dict"][k], v + 0.5,
+                                   rtol=1e-5, atol=1e-6)
