@@ -186,10 +186,23 @@ def measure(backbone: str = "tiny", steps: int = 24, window: int = 4,
     s0 = _stream(0, steps, batch, res, n_cls, unique=unique)
     s1 = _stream(1000, steps, batch, res, n_cls, unique=unique)
 
-    loss_a, p_a = _run_single(model32, bb32, pp, consts32, s0, steps)
-    loss_b, p_b = _run_windowed(modelP, bbP, pp, constsP, s0, steps, window)
-    loss_c, p_c = _run_single(model32, bb32, pp, consts32, s1, steps)
-    loss_d, p_d = _run_windowed(modelD, bbP, pp, constsP, s0, steps, window)
+    import time as _t
+
+    def _timed(tag, fn, *a):
+        t0 = _t.time()
+        out = fn(*a)
+        print(f"[drift] {tag}: {_t.time() - t0:.1f}s "
+              f"(final loss {out[0][-1]:.4f})", flush=True)
+        return out
+
+    loss_a, p_a = _timed("A fp32-xla-single  s0",
+                         _run_single, model32, bb32, pp, consts32, s0, steps)
+    loss_b, p_b = _timed("B prod-windowed    s0", _run_windowed,
+                         modelP, bbP, pp, constsP, s0, steps, window)
+    loss_c, p_c = _timed("C fp32-xla-single  s1",
+                         _run_single, model32, bb32, pp, consts32, s1, steps)
+    loss_d, p_d = _timed("D bf16-xla-window  s0", _run_windowed,
+                         modelD, bbP, pp, constsP, s0, steps, window)
 
     d_dtype = _dist(p_a, p_b)
     d_seed = _dist(p_a, p_c)
