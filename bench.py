@@ -174,12 +174,18 @@ def main():
 
     # zero-shot config: THE shipped inferencer (models/zsclip.py
     # make_zs_infer — the uint8 fast path with normalization folded
-    # into the frozen patch-embed matmul), so this number can't drift
-    # from what models/zsclip.py actually runs
-    from mvlpt_tpu.models.zsclip import make_zs_infer
+    # into the frozen patch-embed matmul) fed by the shipped text
+    # encoder (encode_class_text_features, template-averaged class
+    # features), so this number can't drift from what models/zsclip.py
+    # actually runs. Text content doesn't affect the timed image-side
+    # throughput, but the measured config should BE the zsclip
+    # semantics, not the prompt-tuned cached features above.
+    from mvlpt_tpu.models.zsclip import (
+        encode_class_text_features, make_zs_infer)
 
-    zs_text = text_features / jnp.linalg.norm(
-        text_features, axis=-1, keepdims=True)
+    zs_text = encode_class_text_features(
+        backbone, model.clip_cfg, [f"class {i}" for i in range(N_CLS)],
+        ["a photo of a {}."])
     zs_eval = make_zs_infer(model.clip_cfg, CLIP_PIXEL_MEAN, CLIP_PIXEL_STD)
 
     logits = zs_eval(backbone, zs_text, eval_batches[0]["image"])  # compile

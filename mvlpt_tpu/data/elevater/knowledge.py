@@ -80,7 +80,10 @@ def encode_class_text_features_with_knowledge(
     import numpy as np
 
     use = {s: s in sources for s in ("wiki", "wordnet", "hierarchy", "gpt3")}
-    encode = jax.jit(lambda ids: clip_core.encode_text(backbone, ids, clip_cfg))
+    # backbone as a jit ARGUMENT (closing over it would bake the text
+    # tower into the program as constants — recompile per backbone and
+    # an oversized compile payload on remote-compile transports)
+    encode = jax.jit(lambda bb, ids: clip_core.encode_text(bb, ids, clip_cfg))
 
     # Gather every class's rows up front, then encode the flat matrix in
     # fixed-size chunks: classes have varying (templates x snippets) row
@@ -111,7 +114,7 @@ def encode_class_text_features_with_knowledge(
         pad = chunk - len(part)
         if pad:  # pad the tail to the one compiled shape
             part = np.concatenate([part, np.repeat(part[-1:], pad, 0)])
-        emb = encode(jnp.asarray(part)).astype(jnp.float32)
+        emb = encode(backbone, jnp.asarray(part)).astype(jnp.float32)
         emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
         embs.append(np.asarray(emb)[:chunk - pad])
     flat = np.concatenate(embs, axis=0)

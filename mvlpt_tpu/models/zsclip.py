@@ -58,16 +58,21 @@ def imagenet_templates_full() -> list[str]:
 
 def encode_class_text_features(backbone, clip_cfg, classnames, templates,
                                batch_classes: int = 512) -> jax.Array:
-    """Encode (and average over templates) normalized class text features."""
+    """Encode (and average over templates) normalized class text features.
+
+    ``backbone`` is a jit ARGUMENT, not a closure: closing over it
+    would bake the full text tower into the compiled program as
+    constants (one recompile per backbone, and a compile-request
+    payload that overflows remote-compile transports)."""
     mean_features = 0.0
     encode = jax.jit(
-        lambda ids: clip_core.encode_text(backbone, ids, clip_cfg))
+        lambda bb, ids: clip_core.encode_text(bb, ids, clip_cfg))
     for temp in templates:
         prompts = [temp.format(c.replace("_", " ")) for c in classnames]
         ids = tokenize(prompts, context_length=clip_cfg.context_length)
         feats = []
         for i in range(0, len(ids), batch_classes):
-            feats.append(encode(jnp.asarray(ids[i:i + batch_classes])))
+            feats.append(encode(backbone, jnp.asarray(ids[i:i + batch_classes])))
         f = jnp.concatenate(feats, axis=0).astype(jnp.float32)
         f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
         mean_features = mean_features + f

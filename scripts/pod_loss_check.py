@@ -70,6 +70,44 @@ def _run(model, backbone, prompt_params, consts, batches, mesh=None,
     return losses
 
 
+def _run_eval(model, backbone, prompt_params, consts, batch, mesh=None,
+              kernels=False, replicated=False):
+    """Eval-path logits: cached-text fast path + no-grad kernels — the
+    program trainer.test() dispatches (rows sharded over 'data'
+    single-host, or fully replicated multi-host). Mirrors the dryrun's
+    eval phase on real chips."""
+    import dataclasses
+
+    import jax
+
+    from mvlpt_tpu.parallel import (
+        backbone_partition_specs, batch_specs, global_batch_arrays,
+        put_tree_on_mesh, replicated_specs)
+    from mvlpt_tpu.train.train_step import make_cached_text_eval
+
+    if mesh is not None and kernels:
+        from mvlpt_tpu.ops.block import _FusedMarker
+
+        model = dataclasses.replace(model, attn_fn=_FusedMarker(mesh=mesh))
+    text_fn, eval_fn = make_cached_text_eval(model)
+    if mesh is None:
+        tf = text_fn(backbone, prompt_params, consts)
+        return np.asarray(eval_fn(backbone, prompt_params, tf, batch))
+    with mesh:
+        backbone_s = put_tree_on_mesh(
+            backbone, backbone_partition_specs(backbone), mesh)
+        tf = text_fn(backbone_s, prompt_params, consts)
+        if replicated:
+            batch_s = put_tree_on_mesh(
+                {k: np.asarray(v) for k, v in batch.items()},
+                replicated_specs(batch), mesh)
+        else:
+            batch_s = global_batch_arrays(
+                batch, batch_specs(batch), mesh,
+                global_batch=len(batch["label"]))
+        return np.asarray(eval_fn(backbone_s, prompt_params, tf, batch_s))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mesh", default="8,1",
@@ -85,6 +123,10 @@ def main():
     p.add_argument("--kernels", action="store_true",
                    help="run the mesh leg through the fused Pallas "
                         "kernels (shard_map / Megatron-TP paths)")
+    p.add_argument("--eval", action="store_true", dest="eval_leg",
+                   help="additionally compare the eval fast path "
+                        "(cached-text + no-grad kernels) mesh vs "
+                        "single device, sharded AND replicated rows")
     args = p.parse_args()
     n_data, n_model = (int(x) for x in args.mesh.split(","))
 
@@ -137,6 +179,19 @@ def main():
     if diff > args.tol:
         raise SystemExit(f"LOSS CHECK FAILED: {diff:.2e} > {args.tol:g}")
     print("POD LOSS CHECK OK")
+
+    if args.eval_leg:
+        ref = _run_eval(model, backbone, pp, consts, batches[0])
+        for name, repl in (("sharded", False), ("replicated", True)):
+            got = _run_eval(model, backbone, pp, consts, batches[0],
+                            mesh=mesh, kernels=args.kernels,
+                            replicated=repl)
+            d = float(np.max(np.abs(got - ref)))
+            print(f"eval logits ({name}): max |delta| = {d:.2e}")
+            if d > args.tol:
+                raise SystemExit(
+                    f"EVAL CHECK FAILED ({name}): {d:.2e} > {args.tol:g}")
+        print("POD EVAL CHECK OK")
 
 
 if __name__ == "__main__":

@@ -21,12 +21,15 @@ def _load():
     return mod
 
 
-@pytest.mark.parametrize("mesh,kernels", [("8,1", False), ("4,2", False),
-                                          ("2,4", False), ("4,2", True)])
-def test_pod_loss_check(monkeypatch, mesh, kernels):
+@pytest.mark.parametrize("mesh,kernels,eval_leg", [
+    ("8,1", False, False), ("4,2", False, False), ("2,4", False, False),
+    ("4,2", True, True), ("8,1", False, True)])
+def test_pod_loss_check(monkeypatch, mesh, kernels, eval_leg):
     mod = _load()
     argv = ["pod_loss_check.py", "--mesh", mesh, "--steps", "3"]
     if kernels:
         argv.append("--kernels")
+    if eval_leg:  # the cached-text + no-grad eval fast path, mesh vs single
+        argv.append("--eval")
     monkeypatch.setattr(sys, "argv", argv)
     mod.main()  # raises SystemExit on failure
