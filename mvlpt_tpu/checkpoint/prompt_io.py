@@ -26,6 +26,10 @@ key names/layouts (``ctx``, ``vpt_embeddings(_deep)``, ``vpt_proj``,
 1-layer coupler transformer, ``cocoop_ctx``, ``meta_net.*``) are mapped
 into this repo's prompt-pytree layout, including the torch Linear
 (out,in)→(in,out) kernel transposes.
+
+``export_reference_checkpoint`` / ``to_reference_state_dict`` are the
+exact inverse — TPU-trained prompts re-emitted as the reference
+trainer's own torch archive (cli/export_ckpt, avg_ckpt --format torch).
 """
 
 from __future__ import annotations
@@ -163,6 +167,85 @@ def map_reference_state_dict(sd: dict) -> dict[str, np.ndarray]:
         stacked = _stack_openai_blocks(sd, "mvlpt_proj", n_blocks)
         out.update(flatten_params(stacked, "mvlpt_proj.transformer."))
     return out
+
+
+def to_reference_state_dict(flat: dict) -> dict[str, np.ndarray]:
+    """Our flat dotted numpy keys -> the reference learner's torch names.
+
+    Exact inverse of :func:`map_reference_state_dict`: Linear kernels
+    transposed back to torch's (out, in), the stacked 1-layer coupler
+    transformer unstacked into ``mvlpt_proj.resblocks.{i}.*``
+    (/root/reference/trainers/mvlpt.py:257 builds it as a CLIP
+    ``Transformer``). ``token_prefix``/``token_suffix`` are not emitted —
+    the reference drops them at load time anyway (mvlpt.py:1117-1121)
+    and its ``load_state_dict(strict=False)`` (mvlpt.py:1125) tolerates
+    their absence. Unknown keys pass through untouched.
+    """
+    inv_direct = {v: k for k, v in _REF_DIRECT.items()}
+    inv_linear = {v: k for k, v in _REF_LINEAR.items()}
+    out: dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        v = _tensor_to_np(v)
+        if k in inv_direct:
+            out[inv_direct[k]] = v
+            continue
+        mod, _, leaf = k.rpartition(".")
+        if mod in inv_linear and leaf in ("kernel", "bias"):
+            if leaf == "kernel":
+                out[f"{inv_linear[mod]}.weight"] = np.ascontiguousarray(v.T)
+            else:
+                out[f"{inv_linear[mod]}.bias"] = v
+            continue
+        if k.startswith("mvlpt_proj.transformer."):
+            # stacked (layers, ...) group -> per-layer torch resblock keys
+            grp, leaf = k.split(".")[2], k.split(".")[3]
+            names = {
+                ("ln_1", "scale"): ("ln_1.weight", False),
+                ("ln_1", "bias"): ("ln_1.bias", False),
+                ("attn", "qkv_w"): ("attn.in_proj_weight", True),
+                ("attn", "qkv_b"): ("attn.in_proj_bias", False),
+                ("attn", "out_w"): ("attn.out_proj.weight", True),
+                ("attn", "out_b"): ("attn.out_proj.bias", False),
+                ("ln_2", "scale"): ("ln_2.weight", False),
+                ("ln_2", "bias"): ("ln_2.bias", False),
+                ("mlp", "fc_w"): ("mlp.c_fc.weight", True),
+                ("mlp", "fc_b"): ("mlp.c_fc.bias", False),
+                ("mlp", "proj_w"): ("mlp.c_proj.weight", True),
+                ("mlp", "proj_b"): ("mlp.c_proj.bias", False),
+            }
+            ref_leaf, transpose = names[(grp, leaf)]
+            for i in range(v.shape[0]):
+                vi = v[i].T if transpose else v[i]
+                out[f"mvlpt_proj.resblocks.{i}.{ref_leaf}"] = (
+                    np.ascontiguousarray(vi))
+            continue
+        out[k] = v  # unknown key: pass through (strict=False on their side)
+    return out
+
+
+def export_reference_checkpoint(path: str, prompt_params, epoch: int = 0,
+                                val_result: float | None = None):
+    """``torch.save`` a prompt pytree (or flat state_dict) in the
+    reference trainer's own checkpoint format — the Dassl payload
+    (state_dict/epoch/val_result; mvlpt.py:1090-1125) with the reference
+    learner's key names — so checkpoints trained here feed the
+    reference's ``--model-dir`` warm starts and ``avg_ckpt.py`` directly.
+    """
+    import torch
+
+    # a flat state_dict has no dict values; a prompt pytree is nested
+    if any(isinstance(v, dict) for v in prompt_params.values()):
+        flat = flatten_params(jax.device_get(prompt_params))
+    else:
+        flat = dict(prompt_params)
+    # np.array(copy=True): jax exports non-writable views, which torch
+    # rejects for zero-copy conversion
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in to_reference_state_dict(flat).items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save({"state_dict": sd, "epoch": int(epoch),
+                "val_result": None if val_result is None else
+                float(val_result)}, path)
 
 
 def _read_torch_payload(path: str) -> dict:

@@ -8,7 +8,8 @@ import argparse
 import os
 import pickle
 
-from mvlpt_tpu.checkpoint.prompt_io import average_checkpoints, checkpoint_path
+from mvlpt_tpu.checkpoint.prompt_io import (
+    average_checkpoints, checkpoint_path, export_reference_checkpoint)
 
 
 def cli():
@@ -18,6 +19,12 @@ def cli():
     p.add_argument("--epoch", type=int, default=None,
                    help="load model.pth.tar-<epoch> instead of model-best")
     p.add_argument("--output-dir", required=True)
+    p.add_argument("--format", choices=("numpy", "torch"), default="numpy",
+                   help="output format: this repo's numpy pickle (default) "
+                        "or the reference trainer's torch archive (key "
+                        "names per trainers/mvlpt.py:1090-1125), directly "
+                        "consumable by the reference's --model-dir and "
+                        "avg_ckpt.py")
     args = p.parse_args()
 
     paths = [checkpoint_path(d, args.epoch) for d in args.dirs]
@@ -27,9 +34,14 @@ def cli():
     avg = average_checkpoints(paths)
     out = checkpoint_path(args.output_dir)
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "wb") as f:
-        pickle.dump(avg, f, protocol=pickle.HIGHEST_PROTOCOL)
-    print(f"averaged {len(paths)} checkpoints -> {out}")
+    if args.format == "torch":
+        export_reference_checkpoint(out, avg["state_dict"],
+                                    epoch=avg["epoch"],
+                                    val_result=avg["val_result"])
+    else:
+        with open(out, "wb") as f:
+            pickle.dump(avg, f, protocol=pickle.HIGHEST_PROTOCOL)
+    print(f"averaged {len(paths)} checkpoints -> {out} ({args.format})")
 
 
 if __name__ == "__main__":

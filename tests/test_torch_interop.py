@@ -27,10 +27,12 @@ from test_reference_parity import (  # noqa: E402
 from mvlpt_tpu.checkpoint.prompt_io import (
     apply_state_dict,
     average_checkpoints,
+    export_reference_checkpoint,
     flatten_params,
     load_prompt_checkpoint,
     map_reference_state_dict,
     save_prompt_checkpoint,
+    to_reference_state_dict,
 )
 from mvlpt_tpu.prompts.learner import init_prompt_params
 
@@ -213,6 +215,125 @@ def test_model_dir_accepts_torch_archive(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(trainer.state.prompt_params["coop"]["ctx"]),
         ctx.numpy(), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["upt", "cocoop", "vpt_shallow_proj"])
+def test_export_drives_reference_model(ref, tmp_path, mode):
+    """The return trip: export our prompt pytree in the reference's
+    torch format, load it into the in-process reference learner
+    (strict=False, exactly mvlpt.py:1125), and assert both models
+    produce identical logits from the transplanted weights."""
+    cfg = _make_cfg(**MODES[mode])
+    ref_model, model, params, ref_params, consts = _build_both(ref, cfg)
+
+    # perturb so the test can't pass on the learner's original weights
+    ours = jax.tree_util.tree_map(lambda x: x + 0.05, ref_params)
+    path = str(tmp_path / "export" / "model-best.pth.tar")
+    export_reference_checkpoint(path, ours, epoch=9, val_result=55.5)
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    assert obj["epoch"] == 9 and obj["val_result"] == 55.5
+    missing, unexpected = ref_model.prompt_learner.load_state_dict(
+        obj["state_dict"], strict=False)
+    # only the frozen class-embedding buffers may be absent
+    assert all("token_prefix" in k or "token_suffix" in k for k in missing)
+    assert unexpected == []
+
+    rng = np.random.RandomState(11)
+    imgs = rng.randn(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(imgs.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(model(params, ours, consts, jnp.asarray(imgs)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_to_reference_state_dict_is_exact_inverse(ref):
+    """map_reference_state_dict ∘ to_reference_state_dict == identity on
+    a real all-families pytree (coop + vpt(proj) + coupler transformer
+    + cocoop), and the reverse composition restores the torch names."""
+    from mvlpt_tpu.prompts.learner import PromptSpec
+
+    spec = PromptSpec(
+        n_cls=4, coop_n_ctx=2, vpt_n_ctx=2, cocoop_n_ctx=2, vpt_deep=True,
+        vpt_proj_dim=8, class_token_position="end",
+        project_method="transformer", project_dim=16, context_length=8,
+        vision_layers=2, vision_width=12, text_width=10, embed_dim=32,
+        vision_patch_size=8)
+    flat = flatten_params(
+        jax.device_get(init_prompt_params(jax.random.PRNGKey(0), spec)))
+
+    ref_sd = to_reference_state_dict(flat)
+    assert "ctx" in ref_sd and "vpt_proj.weight" in ref_sd
+    assert "mvlpt_proj.resblocks.0.attn.in_proj_weight" in ref_sd
+    assert "meta_net.linear1.weight" in ref_sd
+    assert not any(k.startswith(("coop.", "vpt.", "cocoop.")) for k in ref_sd)
+
+    back = map_reference_state_dict(ref_sd)
+    assert sorted(back) == sorted(flat)
+    for k in flat:
+        np.testing.assert_array_equal(back[k], flat[k], err_msg=k)
+
+
+def test_export_ckpt_cli(ref, tmp_path, monkeypatch):
+    """cli/export_ckpt on a native run dir: emits a torch archive with
+    reference key names that our own loader reads back identically."""
+    import sys
+
+    from mvlpt_tpu.cli.export_ckpt import cli as export_cli
+
+    cfg = _make_cfg(**MODES["upt"])
+    _rm, _m, _p, ref_params, _c = _build_both(ref, cfg)
+    run_dir = tmp_path / "run"
+    save_prompt_checkpoint(
+        str(run_dir / "prompt_learner" / "model-best.pth.tar"),
+        ref_params, epoch=4, val_result=48.0)
+
+    out = str(tmp_path / "for_reference.pth.tar")
+    monkeypatch.setattr(sys, "argv", [
+        "export_ckpt", "--input", str(run_dir), "--output", out])
+    export_cli()
+
+    obj = torch.load(out, map_location="cpu", weights_only=False)
+    assert obj["epoch"] == 4 and obj["val_result"] == 48.0
+    assert "ctx" in obj["state_dict"]
+
+    reloaded = load_prompt_checkpoint(out)
+    want = flatten_params(jax.device_get(ref_params))
+    assert sorted(reloaded["state_dict"]) == sorted(want)
+    for k, v in want.items():
+        np.testing.assert_allclose(reloaded["state_dict"][k], v,
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+def test_avg_ckpt_cli_torch_format(ref, tmp_path, monkeypatch):
+    """avg_ckpt --format torch: the averaged init lands in the
+    reference's own archive format (the transfer-init workflow, but
+    consumable by the reference's --model-dir directly)."""
+    import sys
+
+    from mvlpt_tpu.cli.avg_ckpt import cli as avg_cli
+
+    cfg = _make_cfg(**MODES["upt"])
+    _rm, _m, _p, ref_params, _c = _build_both(ref, cfg)
+    for seed, bump in (("seed1", 0.0), ("seed2", 1.0)):
+        save_prompt_checkpoint(
+            str(tmp_path / seed / "prompt_learner" / "model-best.pth.tar"),
+            jax.tree_util.tree_map(lambda x, b=bump: x + b, ref_params),
+            epoch=5, val_result=50.0 + bump * 20)
+
+    monkeypatch.setattr(sys, "argv", [
+        "avg_ckpt", "--dirs", str(tmp_path / "seed1"), str(tmp_path / "seed2"),
+        "--output-dir", str(tmp_path / "avg"), "--format", "torch"])
+    avg_cli()
+
+    out = str(tmp_path / "avg" / "prompt_learner" / "model-best.pth.tar")
+    obj = torch.load(out, map_location="cpu", weights_only=False)
+    assert obj["val_result"] == pytest.approx(60.0)
+    payload = load_prompt_checkpoint(out)  # zip sniffing handles torch
+    want = flatten_params(jax.device_get(ref_params))
+    for k, v in want.items():
+        np.testing.assert_allclose(payload["state_dict"][k], v + 0.5,
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
 
 
 def test_avg_ckpt_cli_mixed_formats(ref, tmp_path, monkeypatch):
