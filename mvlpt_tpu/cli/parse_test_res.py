@@ -31,20 +31,33 @@ import os
 import re
 
 _RESULTS_RE = re.compile(r"^results (\{.*\})\s*$")
+_EVAL_RE = re.compile(r"Evaluate on the \*(\w+)\* set")
+
+
+def parse_log_with_split(fpath: str) -> list[tuple[dict, str | None]]:
+    """All `results {...}` dicts in a log, in order, each paired with
+    the split of the most recent ``Evaluate on the *<split>* set``
+    marker above it (None if the log never printed one)."""
+    out: list[tuple[dict, str | None]] = []
+    split = None
+    with open(fpath, errors="replace") as f:
+        for line in f:
+            sm = _EVAL_RE.search(line)
+            if sm:
+                split = sm.group(1)
+                continue
+            m = _RESULTS_RE.match(line.strip())
+            if m:
+                try:
+                    out.append((ast.literal_eval(m.group(1)), split))
+                except (ValueError, SyntaxError):
+                    pass
+    return out
 
 
 def parse_log(fpath: str) -> list[dict]:
     """All `results {...}` dicts in a log, in order."""
-    out = []
-    with open(fpath, errors="replace") as f:
-        for line in f:
-            m = _RESULTS_RE.match(line.strip())
-            if m:
-                try:
-                    out.append(ast.literal_eval(m.group(1)))
-                except (ValueError, SyntaxError):
-                    pass
-    return out
+    return [r for r, _ in parse_log_with_split(fpath)]
 
 
 def final_metrics(directory: str) -> dict | None:
@@ -74,11 +87,15 @@ def aggregate(dirs: list[str]) -> dict:
 
 
 def _pick_metric(results: dict, keyword: str | None):
-    """One scalar from a results dict: the requested key, else the
-    conventional accuracy keys, else the only key (read_record takes
-    the first float on the results line — same outcome for the
-    single-metric logs it scrapes)."""
-    for k in ([keyword] if keyword else []) + ["accuracy", "average"]:
+    """One scalar from a results dict. With an explicit ``keyword`` the
+    key must be present — NO silent fallback, or a sweep over mixed
+    metric zoos would quietly blend accuracy into (say) an mAP column.
+    Without one: the conventional accuracy keys, else the only key
+    (read_record takes the first float on the results line — same
+    outcome for the single-metric logs it scrapes)."""
+    if keyword:
+        return float(results[keyword]) if keyword in results else None
+    for k in ("accuracy", "average"):
         if k in results:
             return float(results[k])
     if len(results) == 1:
@@ -89,15 +106,33 @@ def _pick_metric(results: dict, keyword: str | None):
 def grid_cell(root: str, dataset: str, setting: str, seed: str,
               keyword: str | None):
     """Final metric for one (dataset, seed) run, or None if the run is
-    missing/unfinished — read_record.py:69-88 semantics (glob log.txt*
-    so rotated/suffixed logs count; last results line wins)."""
+    missing/unfinished — read_record.py:69-93 semantics: glob log.txt*
+    so rotated/suffixed logs count, and a log only counts when its LAST
+    results line came from a *test*-set eval (read_record requires
+    "test" two lines above the scraped line; a crashed best_val run
+    whose log ends in a per-epoch *val* results line is 'missed', not
+    reported). Logs are tried newest-mtime-first — this repo's logger
+    rotates the OLD run to log.txt-<ts> while Dassl timestamps the NEW
+    one, so name order is ambiguous across the two conventions; when an
+    older log supplies the cell, a note is printed so a superseded run
+    can't slip in silently."""
     pattern = os.path.join(root, dataset, setting, f"seed{seed}", "log.txt*")
-    for log_file in sorted(_glob.glob(pattern)):
-        results = parse_log(log_file)
-        if results:
-            val = _pick_metric(results[-1], keyword)
-            if val is not None:
-                return val
+    log_files = sorted(_glob.glob(pattern), key=os.path.getmtime,
+                       reverse=True)
+    for i, log_file in enumerate(log_files):
+        results = parse_log_with_split(log_file)
+        if not results:
+            continue
+        final, split = results[-1]
+        if split is not None and split != "test":
+            continue  # unfinished: ended on a val (or other) eval
+        val = _pick_metric(final, keyword)
+        if val is not None:
+            if i > 0:
+                print(f"note: {dataset} seed{seed}: newest log has no "
+                      f"final test result; using older "
+                      f"{os.path.basename(log_file)}")
+            return val
     return None
 
 

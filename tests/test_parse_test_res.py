@@ -86,3 +86,48 @@ def test_grid_rotated_logs_and_keyword(tmp_path):
     assert rows[1] == ["seed 1", 55.5] and missed == []
     rows, _ = grid_rows(str(tmp_path), ["ds"], "s", ["1"])
     assert rows[1] == ["seed 1", 77.7]  # default: accuracy
+
+
+def test_grid_unfinished_run_is_missed(tmp_path):
+    """A crashed best_val run whose log ends in a per-epoch *val*
+    results line must be a blank cell, not reported as final
+    (read_record.py:78 requires "test" above the scraped line)."""
+    d = tmp_path / "ds" / "s" / "seed1"
+    os.makedirs(d)
+    with open(d / "log.txt", "w") as f:
+        f.write("Evaluate on the *val* set\n")
+        f.write("results {'accuracy': 42.0}\n")
+    rows, missed = grid_rows(str(tmp_path), ["ds"], "s", ["1"])
+    assert rows[1] == ["seed 1", " "] and missed == [("ds", "1")]
+
+
+def test_grid_explicit_keyword_never_falls_back(tmp_path):
+    """--keyword names a metric some runs don't log: those cells blank
+    out instead of silently mixing accuracy into the requested column."""
+    _write_log(tmp_path / "ds" / "s" / "seed1", 77.7)  # accuracy only
+    rows, missed = grid_rows(str(tmp_path), ["ds"], "s", ["1"],
+                             keyword="11point_mAP")
+    assert rows[1] == ["seed 1", " "] and missed == [("ds", "1")]
+
+
+def test_grid_prefers_newest_log(tmp_path, capsys):
+    """Newest-mtime log wins regardless of rotation naming convention
+    (ours rotates the OLD file to log.txt-<ts>; Dassl timestamps the
+    NEW one), and falling back to an older log prints a note."""
+    d = tmp_path / "ds" / "s" / "seed1"
+    os.makedirs(d)
+    old, new = d / "log.txt-2026-01-01", d / "log.txt"
+    for path, val in ((old, 11.1), (new, 99.9)):
+        with open(path, "w") as f:
+            f.write("Evaluate on the *test* set\n")
+            f.write(f"results {{'accuracy': {val}}}\n")
+    os.utime(old, (1, 1))  # old rotated file: ancient mtime
+    rows, _ = grid_rows(str(tmp_path), ["ds"], "s", ["1"])
+    assert rows[1] == ["seed 1", 99.9]
+
+    # newest crashed before any test eval -> older log used, with a note
+    with open(new, "w") as f:
+        f.write("Evaluate on the *val* set\nresults {'accuracy': 5.0}\n")
+    rows, _ = grid_rows(str(tmp_path), ["ds"], "s", ["1"])
+    assert rows[1] == ["seed 1", 11.1]
+    assert "using older" in capsys.readouterr().out
