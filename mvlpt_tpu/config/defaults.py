@@ -138,6 +138,16 @@ def get_cfg_default() -> CN:
     # single device AND under a mesh (windows shard (None, "data"),
     # trainer._stage_window), single- or multi-host.
     cfg.TRAIN.STEPS_PER_DISPATCH = 1
+    # Minimum leftover-batch count worth compiling a tail-sized scan
+    # for. Epochs whose length is not a multiple of the window leave a
+    # tail of N % window batches; tails >= this threshold run as ONE
+    # scanned dispatch of their own length (jit caches one extra
+    # program — tail length is constant across epochs), smaller tails
+    # use the already-compiled per-batch step. 0 disables tail scans.
+    # The window itself is always clamped to the epoch length, so
+    # few-shot epochs shorter than STEPS_PER_DISPATCH still get a
+    # full-epoch scan instead of falling back to per-batch dispatch.
+    cfg.TRAIN.WINDOW_MIN_TAIL = 8
 
     # ------------------------------------------------------------------- test
     cfg.TEST = CN()

@@ -454,6 +454,15 @@ class PromptTrainer:
 
         meter = MetricMeter()
         num_batches = len(self.train_loader_x)
+        # Adaptive clamp: an epoch shorter than the configured window
+        # must still get windowed dispatch (one scan over the whole
+        # epoch), not fall back to per-batch — few-shot epochs (e.g.
+        # 16-shot x batch 32 = ~50 steps) are exactly the runs that
+        # used to miss the window entirely.
+        window = max(1, min(window, num_batches))
+        if window < 2:
+            return self._run_epoch_plain()
+        min_tail = max(0, int(self.cfg.TRAIN.WINDOW_MIN_TAIL))
         rng = jax.random.PRNGKey(max(self.cfg.SEED, 0) * 131 + self.epoch)
         if self.train_step_multi is None:
             from mvlpt_tpu.train.train_step import make_train_step_multi
@@ -469,10 +478,15 @@ class PromptTrainer:
             nonlocal done
             if not pending:
                 return
-            if len(pending) < window:
-                # Tail (or window=1): run through the single-step path,
-                # which is already compiled — a K-sized tail scan would
-                # recompile the whole program for each distinct K.
+            if len(pending) < window and not (
+                    min_tail and len(pending) >= min_tail):
+                # Short tail: run through the single-step path, which
+                # is already compiled — a scan program for a tiny K
+                # would not amortize its compile. Tails >= min_tail DO
+                # scan (branch below): jit caches one program per
+                # distinct K, and the tail length N % window is the
+                # same every epoch, so that is exactly one extra
+                # compile for the whole run.
                 for pos, b in enumerate(pending):
                     step_rng = jax.random.fold_in(rng, done + pos)
                     self.state, metrics = self.train_step(

@@ -335,6 +335,76 @@ def test_device_normalize_windowed_training(tmp_path):
         os.path.join(out, "prompt_learner", "model-best.pth.tar"))
 
 
+@pytest.mark.slow
+def test_adaptive_window_clamps_and_scans_tail(tmp_path, monkeypatch):
+    """The dispatch window adapts to the epoch (trainer.py
+    _run_epoch_windowed): (a) an epoch SHORTER than
+    TRAIN.STEPS_PER_DISPATCH is clamped to one full-epoch scan instead
+    of silently falling back to per-batch dispatch — the few-shot
+    regime (e.g. 16-shot = ~50 steps/epoch at the reference batch 32)
+    is exactly where windowing used to disengage; (b) tails of
+    >= TRAIN.WINDOW_MIN_TAIL leftover batches run as one scanned
+    dispatch of their own length. Both must reproduce the window=1
+    optimizer math exactly (these specs use no dropout)."""
+    import mvlpt_tpu.train.trainer as trainer_mod
+
+    make_coop_dataset(tmp_path / "data")
+    calls = {"single": 0}
+    real_make = trainer_mod.make_train_step
+
+    def counting_make(*a, **kw):
+        step = real_make(*a, **kw)
+
+        def counted(*sa, **skw):
+            calls["single"] += 1
+            return step(*sa, **skw)
+
+        return counted
+
+    monkeypatch.setattr(trainer_mod, "make_train_step", counting_make)
+
+    def run(out, *extra):
+        return _run([
+            "--root", str(tmp_path / "data"), "--output-dir", str(out),
+            "--trainer", "MVLPT", "--dataset-coop", "--dataset",
+            "OxfordPets", "--seed", "1", "--shots", "8",
+            "--cut-contextlen", *TINY_OPTS, "TEST.NO_TEST", "True",
+            "TEST.FINAL_MODEL", "last_step", *extra,
+        ])
+
+    # baseline: classic per-batch dispatch
+    t_ref = run(tmp_path / "o_ref", "TRAIN.STEPS_PER_DISPATCH", "1")
+    n_batches = len(t_ref.train_loader_x)
+    assert n_batches >= 3 and n_batches % 2 == 1  # odd -> window-2 tail
+    assert calls["single"] == 2 * n_batches  # all per-batch, 2 epochs
+
+    # (a) window 8 > epoch length -> clamped to a full-epoch scan;
+    # the single-step path must never run
+    calls["single"] = 0
+    t_clamp = run(tmp_path / "o_clamp", "TRAIN.STEPS_PER_DISPATCH", "8")
+    assert calls["single"] == 0
+
+    # (b) window 2 over an odd epoch -> full scans of 2 and a scanned
+    # tail of 1 (WINDOW_MIN_TAIL 1); the single-step path must never run
+    calls["single"] = 0
+    t_tail = run(tmp_path / "o_tail", "TRAIN.STEPS_PER_DISPATCH", "2",
+                 "TRAIN.WINDOW_MIN_TAIL", "1")
+    assert calls["single"] == 0
+
+    # (b') default WINDOW_MIN_TAIL (8): the 1-batch tail stays on the
+    # already-compiled single-step path
+    calls["single"] = 0
+    run(tmp_path / "o_tail_dflt", "TRAIN.STEPS_PER_DISPATCH", "2")
+    assert calls["single"] == 2  # one tail batch per epoch
+
+    ref = np.concatenate([np.asarray(x).ravel()
+                          for x in _leaves(t_ref.state.prompt_params)])
+    for t in (t_clamp, t_tail):
+        got = np.concatenate([np.asarray(x).ravel()
+                              for x in _leaves(t.state.prompt_params)])
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 def test_zero_tunable_params_fails_loudly(tmp_path):
     """With all MVLPT N_CTX knobs at their reference defaults (0 —
     train.py:136,144,150), there is nothing to train; torch raises
