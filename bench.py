@@ -16,9 +16,10 @@ What is measured, and how honestly:
   train/trainer.py:_run_epoch_windowed runs. Timed over chained
   dispatches with a materializing fence (axon's block_until_ready does
   not wait). Window sweep (measured): W=1 ~19.9, W=30 18.53, W=60
-  18.11, W=120 17.90 ms/step — the 1.4 ms/dispatch service overhead
-  amortizes away; the trainer config default is W=60 (a 120-step
-  window needs 3840-sample epochs to fill).
+  18.17, W=120 18.03 ms/step — the 1.4 ms/dispatch service overhead
+  amortizes away; the trainer ships W=120 (the trainer clamps the
+  window to the epoch length, so short few-shot epochs still run as
+  one full-epoch scan rather than missing the window).
 * **H2D streaming** — measured separately and reported in the JSON
   (``h2d_mbs``): this environment reaches the TPU through a network
   tunnel whose host→device bandwidth measures ~17 MB/s, so per-step
@@ -60,11 +61,14 @@ A100_PYTORCH_EST_IMG_S = 340.0  # see BASELINE.md "Throughput baseline"
 V5E_BF16_PEAK_FLOPS = 197e12    # per chip
 BATCH = 32
 N_CLS = 100
-# Product-config window (TRAIN.STEPS_PER_DISPATCH default, the value
-# vit_b16_tpu_fast.yaml ships): the headline is the shipped config, not
-# a tuning extreme (W=120 saves a further ~0.2 ms/step but needs
-# 3840-sample epochs to fill a window — recorded in BASELINE.md).
-WINDOW = 60
+# Product-config window (TRAIN.STEPS_PER_DISPATCH, the value
+# vit_b16_tpu_fast.yaml ships): the headline is the shipped config.
+# W=120 measured 18.03 vs W=60's 18.17 ms/step (same-session A/B,
+# 3 reps each, <=0.003 ms spread); the old objection — a 120-step
+# window needs 3840-sample epochs to fill — is gone now that the
+# trainer clamps the window to the epoch length (a short epoch runs
+# as ONE full-epoch scan), so 120 is "adaptive up to 120".
+WINDOW = 120
 ROUNDS = 4      # timed dispatches -> WINDOW * ROUNDS measured steps
 EVAL_BATCH = 100   # reference TEST batch (vit_b16.yaml)
 EVAL_STEPS = 50    # timed eval dispatches (short runs are tunnel-jittery)
