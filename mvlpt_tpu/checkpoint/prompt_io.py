@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import re
 import zipfile
 
 import jax
@@ -69,6 +70,29 @@ def checkpoint_path(directory: str, epoch: int | None = None,
                     name: str = "prompt_learner") -> str:
     fname = MODEL_BEST if epoch is None else f"model.pth.tar-{epoch}"
     return os.path.join(directory, name, fname)
+
+
+def find_checkpoint(directory: str, epoch: int | None = None,
+                    name: str = "prompt_learner") -> str:
+    """checkpoint_path, but when no epoch is requested and
+    model-best.pth.tar does not exist (TEST.FINAL_MODEL last_step runs
+    never write one), fall back to the highest-numbered
+    model.pth.tar-N the training leg saved. Lets `--model-dir` work
+    without `--load-epoch` regardless of the config's MAX_EPOCH /
+    CHECKPOINT_FREQ — the protocol shell scripts rely on this."""
+    path = checkpoint_path(directory, epoch, name)
+    if epoch is not None or os.path.exists(path):
+        return path
+    pdir = os.path.join(directory, name)
+    epochs = []
+    if os.path.isdir(pdir):
+        for f in os.listdir(pdir):
+            m = re.fullmatch(r"model\.pth\.tar-(\d+)", f)
+            if m:
+                epochs.append(int(m.group(1)))
+    if not epochs:
+        return path  # caller raises FileNotFoundError with this path
+    return checkpoint_path(directory, max(epochs), name)
 
 
 def save_prompt_checkpoint(path: str, prompt_params, epoch: int,
@@ -272,20 +296,28 @@ def _read_torch_payload(path: str) -> dict:
     }
 
 
+# First pickle frame of a legacy (pre-zip) torch.save archive
+# (torch/serialization.py MAGIC_NUMBER).
+_TORCH_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+
 def _read_payload(path: str) -> dict:
     """Load either this repo's numpy pickle or a reference torch archive."""
     if zipfile.is_zipfile(path):  # torch.save zip format
         return _read_torch_payload(path)
     with open(path, "rb") as f:
-        try:
-            payload = pickle.load(f)
-        except Exception:
-            payload = None
+        payload = pickle.load(f)  # a corrupt file raises ITS OWN error
     if isinstance(payload, dict) and "state_dict" in payload:
         return payload
-    # Legacy torch serialization: the first pickle frame is a magic
-    # number, so the plain pickle.load above returns an int (or fails).
-    return _read_torch_payload(path)
+    if payload == _TORCH_LEGACY_MAGIC:
+        # Legacy torch serialization: the first pickle frame is the
+        # magic number; hand the whole file to torch.
+        return _read_torch_payload(path)
+    raise ValueError(
+        f"{path!r} unpickles to {type(payload).__name__}, which is "
+        "neither this repo's checkpoint payload (a dict with "
+        "'state_dict') nor a torch archive (zip or legacy-magic "
+        "pickle) — the file is not a prompt checkpoint")
 
 
 def load_prompt_checkpoint(path: str) -> dict:

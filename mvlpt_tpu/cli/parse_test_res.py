@@ -29,6 +29,7 @@ import glob as _glob
 import math
 import os
 import re
+import sys
 
 _RESULTS_RE = re.compile(r"^results (\{.*\})\s*$")
 _EVAL_RE = re.compile(r"Evaluate on the \*(\w+)\* set")
@@ -126,13 +127,16 @@ def grid_cell(root: str, dataset: str, setting: str, seed: str,
         final, split = results[-1]
         if split is not None and split != "test":
             continue  # unfinished: ended on a val (or other) eval
-        val = _pick_metric(final, keyword)
-        if val is not None:
-            if i > 0:
-                print(f"note: {dataset} seed{seed}: newest log has no "
-                      f"final test result; using older "
-                      f"{os.path.basename(log_file)}")
-            return val
+        # This log IS the run's newest finished test eval — the cell is
+        # decided on it alone. No falling through to an older log when
+        # the metric can't be extracted here (e.g. an explicit
+        # --keyword absent from this run's metric zoo): that would
+        # resurrect a superseded run's number.
+        if i > 0:
+            print(f"note: {dataset} seed{seed}: newest log has no "
+                  f"final test result; using older "
+                  f"{os.path.basename(log_file)}", file=sys.stderr)
+        return _pick_metric(final, keyword)
     return None
 
 
@@ -184,8 +188,10 @@ def cli():
         seeds = [s for s in args.seeds.split(",") if s]
         rows, missed = grid_rows(args.directory, datasets, args.setting,
                                  seeds, args.keyword)
+        # Diagnostics go to stderr so `--grid > grid.csv` yields a
+        # clean CSV (stdout carries ONLY the rows in no---out mode).
         for ds, seed in missed:
-            print("missed", ds, "seed", seed)
+            print("missed", ds, "seed", seed, file=sys.stderr)
         if args.out:
             with open(args.out, "w", newline="", encoding="UTF8") as f:
                 csv.writer(f).writerows(rows)
@@ -193,7 +199,7 @@ def cli():
         else:
             for row in rows:
                 print(",".join(str(c) for c in row))
-        print(f"okay we missed {len(missed)} entries")
+        print(f"okay we missed {len(missed)} entries", file=sys.stderr)
         return
 
     if args.multi_exp:

@@ -697,7 +697,7 @@ class PromptTrainer:
             print("Note that load_model() is skipped as no pretrained model "
                   "is given")
             return
-        path = prompt_io.checkpoint_path(directory, epoch)
+        path = prompt_io.find_checkpoint(directory, epoch)
         if not os.path.exists(path):
             raise FileNotFoundError(f'Model not found at "{path}"')
         payload = prompt_io.load_prompt_checkpoint(path)

@@ -5,7 +5,7 @@
 #
 # Usage: base2new_test.sh DATASET SEED
 # Env: DATA, OUT (default ./output), TRAINER (CoCoOp), CFG (vit_b16),
-#      SHOTS (16), LOADEP (10), SUB (new), EXTRA_OPTS.
+#      SHOTS (16), LOADEP (empty = best/newest), SUB (new), EXTRA_OPTS.
 set -e
 cd "$(dirname "$0")/../.."
 
@@ -18,7 +18,11 @@ SEED=$2
 
 CFG=${CFG:-vit_b16}
 SHOTS=${SHOTS:-16}
-LOADEP=${LOADEP:-10}
+# Empty LOADEP (default) omits --load-epoch: the trainer then loads
+# model-best.pth.tar or, failing that, the highest-numbered epoch
+# checkpoint the train leg wrote (prompt_io.find_checkpoint) -- works
+# for any MAX_EPOCH/CHECKPOINT_FREQ. Set LOADEP=N to pin an epoch.
+LOADEP=${LOADEP:-}
 SUB=${SUB:-new}
 
 COMMON_DIR=${DATASET}/shots_${SHOTS}/${TRAINER}/${CFG}/seed${SEED}
@@ -36,7 +40,7 @@ else
     --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
     --output-dir "${DIR}" \
     --model-dir "${MODEL_DIR}" \
-    --load-epoch ${LOADEP} \
+    ${LOADEP:+--load-epoch ${LOADEP}} \
     --eval-only \
     DATASET.NUM_SHOTS ${SHOTS} \
     DATASET.SUBSAMPLE_CLASSES ${SUB} \

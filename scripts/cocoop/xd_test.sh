@@ -5,7 +5,7 @@
 #
 # Usage: xd_test.sh DATASET SEED
 # Env: DATA, OUT (default ./output), TRAINER (CoCoOp), CFG (vit_b16),
-#      SHOTS (16), LOADEP (10), SRC_DATASET (imagenet), EXTRA_OPTS.
+#      SHOTS (16), LOADEP (empty = best/newest), SRC_DATASET (imagenet), EXTRA_OPTS.
 set -e
 cd "$(dirname "$0")/../.."
 
@@ -18,7 +18,11 @@ SEED=$2
 
 CFG=${CFG:-vit_b16}
 SHOTS=${SHOTS:-16}
-LOADEP=${LOADEP:-10}
+# Empty LOADEP (default) omits --load-epoch: the trainer then loads
+# model-best.pth.tar or, failing that, the highest-numbered epoch
+# checkpoint the train leg wrote (prompt_io.find_checkpoint) -- works
+# for any MAX_EPOCH/CHECKPOINT_FREQ. Set LOADEP=N to pin an epoch.
+LOADEP=${LOADEP:-}
 SRC_DATASET=${SRC_DATASET:-imagenet}
 
 DIR=${OUT}/evaluation/${TRAINER}/${CFG}_${SHOTS}shots/${DATASET}/seed${SEED}
@@ -34,7 +38,7 @@ else
     --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
     --output-dir "${DIR}" \
     --model-dir "${OUT}/${SRC_DATASET}/${TRAINER}/${CFG}_${SHOTS}shots/seed${SEED}" \
-    --load-epoch ${LOADEP} \
+    ${LOADEP:+--load-epoch ${LOADEP}} \
     --eval-only \
     ${EXTRA_OPTS}
 fi

@@ -5,7 +5,7 @@
 #
 # Usage: eval.sh DATASET CFG
 # Env: DATA, OUT (default ./output), SHOTS (16), NCTX (16), CSC (False),
-#      CTP (end), LOADEP (50), SEEDS, MODEL_ROOT (where the ImageNet
+#      CTP (end), LOADEP (empty = best/newest), SEEDS, MODEL_ROOT (where the ImageNet
 #      runs live, default ${OUT}), EXTRA_OPTS.
 set -e
 cd "$(dirname "$0")/../.."
@@ -17,7 +17,10 @@ SHOTS=${SHOTS:-16}
 NCTX=${NCTX:-16}
 CSC=${CSC:-False}
 CTP=${CTP:-end}
-LOADEP=${LOADEP:-50}
+# Empty LOADEP (default) omits --load-epoch: the trainer loads
+# model-best.pth.tar or the highest-numbered epoch checkpoint
+# (prompt_io.find_checkpoint). Set LOADEP=N to pin an epoch.
+LOADEP=${LOADEP:-}
 
 DATASET=$1
 CFG=$2
@@ -33,7 +36,7 @@ for SEED in ${SEEDS:-1 2 3}; do
     --config-file configs/trainers/${TRAINER}/${CFG}.yaml \
     --output-dir "${OUT}/evaluation/${TRAINER}/${CFG}_${SHOTS}shots/nctx${NCTX}_csc${CSC}_ctp${CTP}/${DATASET}/seed${SEED}" \
     --model-dir "${MODEL_ROOT}/imagenet/${TRAINER}/${CFG}_${SHOTS}shots/nctx${NCTX}_csc${CSC}_ctp${CTP}/seed${SEED}" \
-    --load-epoch ${LOADEP} \
+    ${LOADEP:+--load-epoch ${LOADEP}} \
     --eval-only \
     TRAINER.COOP.N_CTX ${NCTX} \
     TRAINER.COOP.CSC ${CSC} \

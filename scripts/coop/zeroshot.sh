@@ -3,7 +3,10 @@
 # /root/reference/scripts/coop/zeroshot.sh.
 #
 # Usage: zeroshot.sh DATASET CFG
-#   CFG: rn50, rn101, vit_b32 or vit_b16 (configs/trainers/CoOp/<CFG>.yaml)
+#   CFG: vit_b16 or vit_b32 (configs/trainers/CoOp/<CFG>.yaml — the
+#   reference's rn50/rn101 configs have no equivalent here: prompt
+#   tuning is ViT-only, mvlpt.py:47, and the RN towers serve the
+#   linear-probe / feature-extraction path)
 # Env: DATA, OUT (default ./output), EXTRA_OPTS.
 set -e
 cd "$(dirname "$0")/../.."

@@ -85,3 +85,49 @@ def test_flatten_unflatten_inverse(params):
     flat = flatten_params(params)
     tree = unflatten_params(flat)
     assert set(flatten_params(tree)) == set(flat)
+
+
+def test_find_checkpoint_falls_back_to_newest_epoch(tmp_path, params):
+    """--model-dir without --load-epoch on a last_step run (no
+    model-best.pth.tar): find_checkpoint picks the highest-numbered
+    model.pth.tar-N — what the protocol eval scripts rely on when
+    LOADEP is unset."""
+    from mvlpt_tpu.checkpoint.prompt_io import find_checkpoint
+
+    d = str(tmp_path / "run")
+    for ep in (3, 20, 5):
+        save_prompt_checkpoint(checkpoint_path(d, ep), params, epoch=ep)
+    assert find_checkpoint(d) == checkpoint_path(d, 20)
+    # explicit epoch is never overridden
+    assert find_checkpoint(d, 3) == checkpoint_path(d, 3)
+    # once model-best exists it wins the no-epoch lookup
+    save_prompt_checkpoint(checkpoint_path(d), params, epoch=20,
+                           val_result=1.0)
+    assert find_checkpoint(d) == checkpoint_path(d)
+    # empty dir: returns the model-best path for the caller's
+    # FileNotFoundError message
+    assert find_checkpoint(str(tmp_path / "nope")).endswith(
+        "model-best.pth.tar")
+
+
+def test_corrupt_checkpoint_raises_its_own_error(tmp_path, params):
+    """A truncated native checkpoint must surface the pickle failure,
+    not a misleading torch-archive error; junk that unpickles to a
+    non-payload raises a diagnostic ValueError."""
+    import pickle
+
+    p = tmp_path / "model.pth.tar-1"
+    full = checkpoint_path(str(tmp_path / "run"), 1)
+    save_prompt_checkpoint(full, params, epoch=1)
+    blob = open(full, "rb").read()
+    p.write_bytes(blob[: len(blob) // 2])  # truncated mid-stream
+    with pytest.raises(Exception) as ei:
+        load_prompt_checkpoint(str(p))
+    assert "pickle" in type(ei.value).__module__ + type(ei.value).__name__ \
+        or isinstance(ei.value, EOFError)
+
+    q = tmp_path / "junk.pth.tar"
+    with open(q, "wb") as f:
+        pickle.dump([1, 2, 3], f)
+    with pytest.raises(ValueError, match="not a prompt checkpoint"):
+        load_prompt_checkpoint(str(q))

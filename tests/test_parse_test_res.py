@@ -66,9 +66,11 @@ def test_grid_cli_writes_csv(tmp_path, monkeypatch, capsys):
         "--datasets", "cifar-10,mnist", "--setting", setting,
         "--seeds", "1", "--out", out])
     cli()
-    printed = capsys.readouterr().out
-    assert "missed mnist seed 1" in printed
-    assert "okay we missed 1 entries" in printed
+    captured = capsys.readouterr()
+    # diagnostics ride stderr so `--grid > grid.csv` stays a clean CSV
+    assert "missed mnist seed 1" in captured.err
+    assert "okay we missed 1 entries" in captured.err
+    assert "missed" not in captured.out
     with open(out, newline="") as f:
         got = list(csv.reader(f))
     assert got == [[" ", "cifar-10", "mnist"], ["seed 1", "88.8", " "]]
@@ -130,4 +132,38 @@ def test_grid_prefers_newest_log(tmp_path, capsys):
         f.write("Evaluate on the *val* set\nresults {'accuracy': 5.0}\n")
     rows, _ = grid_rows(str(tmp_path), ["ds"], "s", ["1"])
     assert rows[1] == ["seed 1", 11.1]
-    assert "using older" in capsys.readouterr().out
+    assert "using older" in capsys.readouterr().err
+
+
+def test_grid_keyword_ignores_stale_log(tmp_path):
+    """A stale rotated log that HAS the requested keyword must not fill
+    a cell when the newest finished run lacks it — the newest test eval
+    decides the cell alone (blank), never a superseded run's number."""
+    d = tmp_path / "ds" / "s" / "seed1"
+    os.makedirs(d)
+    old, new = d / "log.txt-2026-01-01", d / "log.txt"
+    with open(old, "w") as f:
+        f.write("Evaluate on the *test* set\n"
+                "results {'11point_mAP': 70.0}\n")
+    with open(new, "w") as f:
+        f.write("Evaluate on the *test* set\n"
+                "results {'accuracy': 91.0}\n")
+    os.utime(old, (1, 1))
+    rows, missed = grid_rows(str(tmp_path), ["ds"], "s", ["1"],
+                             keyword="11point_mAP")
+    assert rows[1] == ["seed 1", " "] and missed == [("ds", "1")]
+
+
+def test_grid_stdout_csv_is_clean(tmp_path, monkeypatch, capsys):
+    """No --out: stdout carries ONLY CSV rows (parseable), notes on
+    stderr."""
+    from mvlpt_tpu.cli.parse_test_res import cli
+
+    _write_log(tmp_path / "cifar-10" / "s" / "seed1", 88.8)
+    monkeypatch.setattr(sys, "argv", [
+        "parse_test_res", str(tmp_path), "--grid",
+        "--datasets", "cifar-10,mnist", "--setting", "s", "--seeds", "1"])
+    cli()
+    out = capsys.readouterr().out
+    got = list(csv.reader(out.splitlines()))
+    assert got == [[" ", "cifar-10", "mnist"], ["seed 1", "88.8", " "]]

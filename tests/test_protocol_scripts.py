@@ -74,11 +74,14 @@ def test_base2new_protocol(tmp_path):
     """base2new_train.sh on the BASE half, then base2new_test.sh on the
     NEW half from the trained checkpoint — the published CoCoOp
     generalization protocol (run with TRAINER=CoOp for speed; the
-    script's TRAINER env is exactly the reference's commented switch)."""
+    script's TRAINER env is exactly the reference's commented switch).
+    LOADEP is deliberately left unset: the test leg must find the
+    train leg's checkpoint via the best/newest fallback
+    (prompt_io.find_checkpoint) — the out-of-the-box default flow."""
     make_coop_dataset(tmp_path / "data",
                       classes=("abyssinian", "beagle", "chihuahua", "pug"))
     out = tmp_path / "out"
-    env = _env(tmp_path / "data", out, TRAINER="CoOp", LOADEP="1")
+    env = _env(tmp_path / "data", out, TRAINER="CoOp")
 
     _run("cocoop/base2new_train.sh", ["oxford_pets", "1"], env)
     train_dir = (out / "base2new" / "train_base" / "oxford_pets" /
