@@ -83,6 +83,17 @@ def find_checkpoint(directory: str, epoch: int | None = None,
     path = checkpoint_path(directory, epoch, name)
     if epoch is not None or os.path.exists(path):
         return path
+    epochs = list_epoch_checkpoints(directory, name)
+    if not epochs:
+        return path  # caller raises FileNotFoundError with this path
+    return checkpoint_path(directory, epochs[-1], name)
+
+
+def list_epoch_checkpoints(directory: str,
+                           name: str = "prompt_learner") -> list[int]:
+    """Sorted epoch numbers of the model.pth.tar-N files under
+    <directory>/<name>/. Exact-pattern match, so stray .bak/.tmp
+    copies of a checkpoint never break the scan."""
     pdir = os.path.join(directory, name)
     epochs = []
     if os.path.isdir(pdir):
@@ -90,9 +101,7 @@ def find_checkpoint(directory: str, epoch: int | None = None,
             m = re.fullmatch(r"model\.pth\.tar-(\d+)", f)
             if m:
                 epochs.append(int(m.group(1)))
-    if not epochs:
-        return path  # caller raises FileNotFoundError with this path
-    return checkpoint_path(directory, max(epochs), name)
+    return sorted(epochs)
 
 
 def save_prompt_checkpoint(path: str, prompt_params, epoch: int,
@@ -309,7 +318,7 @@ def _read_payload(path: str) -> dict:
         payload = pickle.load(f)  # a corrupt file raises ITS OWN error
     if isinstance(payload, dict) and "state_dict" in payload:
         return payload
-    if payload == _TORCH_LEGACY_MAGIC:
+    if isinstance(payload, int) and payload == _TORCH_LEGACY_MAGIC:
         # Legacy torch serialization: the first pickle frame is the
         # magic number; hand the whole file to torch.
         return _read_torch_payload(path)

@@ -9,7 +9,8 @@ import os
 import pickle
 
 from mvlpt_tpu.checkpoint.prompt_io import (
-    average_checkpoints, checkpoint_path, export_reference_checkpoint)
+    average_checkpoints, checkpoint_path, export_reference_checkpoint,
+    find_checkpoint)
 
 
 def cli():
@@ -27,7 +28,9 @@ def cli():
                         "avg_ckpt.py")
     args = p.parse_args()
 
-    paths = [checkpoint_path(d, args.epoch) for d in args.dirs]
+    # find_checkpoint: same resolution as --model-dir (model-best, or
+    # the newest epoch checkpoint on last_step runs that never wrote one)
+    paths = [find_checkpoint(d, args.epoch) for d in args.dirs]
     for path in paths:
         if not os.path.exists(path):
             raise FileNotFoundError(path)

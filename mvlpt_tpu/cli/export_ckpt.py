@@ -21,7 +21,7 @@ import argparse
 import os
 
 from mvlpt_tpu.checkpoint.prompt_io import (
-    checkpoint_path, export_reference_checkpoint, load_prompt_checkpoint)
+    export_reference_checkpoint, find_checkpoint, load_prompt_checkpoint)
 
 
 def cli():
@@ -40,7 +40,7 @@ def cli():
 
     src = args.input
     if os.path.isdir(src):
-        src = checkpoint_path(src, args.epoch)
+        src = find_checkpoint(src, args.epoch)
     if not os.path.exists(src):
         raise FileNotFoundError(src)
     payload = load_prompt_checkpoint(src)

@@ -678,6 +678,11 @@ class PromptTrainer:
 
     # ------------------------------------------------------------ checkpoint
     def save_checkpoint(self, best: bool = False, val_result=None):
+        if val_result is not None and not np.isfinite(val_result):
+            # last_step/NO_TEST runs pass the -inf best_result sentinel;
+            # persist None (Dassl checkpoints carry a real value or
+            # nothing) so averaging/export never see -inf.
+            val_result = None
         path = prompt_io.checkpoint_path(
             self.output_dir, epoch=None if best else self.epoch + 1)
         # opt_state/step ride along for exact resume (reference-written
@@ -710,20 +715,23 @@ class PromptTrainer:
         self.state = init_train_state(params, self.tx)
 
     def resume_from_checkpoint(self, directory):
-        files = []
-        pdir = os.path.join(directory, "prompt_learner")
-        if os.path.isdir(pdir):
-            files = [f for f in os.listdir(pdir) if f.startswith("model.pth.tar-")]
-        if not files:
+        epochs = prompt_io.list_epoch_checkpoints(directory)
+        if not epochs:
             print(f"No checkpoint found in {directory}, starting fresh")
             return
-        last = max(int(f.rsplit("-", 1)[1]) for f in files)
         payload = prompt_io.load_prompt_checkpoint(
-            prompt_io.checkpoint_path(directory, last))
+            prompt_io.checkpoint_path(directory, epochs[-1]))
         params, _, _ = prompt_io.apply_state_dict(
             self.state.prompt_params, payload["state_dict"])
         self.state = init_train_state(params, self.tx)
         self.epoch = payload["epoch"]
+        # Restore the best-val watermark (save_checkpoint stores it as
+        # the epoch checkpoint's val_result): without it a resumed
+        # best_val run would clobber model-best.pth.tar with the first
+        # post-resume val result, however much worse than the best.
+        val = payload.get("val_result")
+        if val is not None and np.isfinite(val):
+            self.best_result = max(self.best_result, float(val))
         # restore optimizer momentum + schedule position; older /
         # reference-format checkpoints lack these — momentum resumes
         # fresh, but the schedule count (which lives INSIDE optax's

@@ -131,3 +131,39 @@ def test_corrupt_checkpoint_raises_its_own_error(tmp_path, params):
         pickle.dump([1, 2, 3], f)
     with pytest.raises(ValueError, match="not a prompt checkpoint"):
         load_prompt_checkpoint(str(q))
+
+
+def test_ndarray_pickle_raises_diagnostic(tmp_path):
+    """A pickle of a bare ndarray must hit the 'not a prompt
+    checkpoint' ValueError, not numpy's ambiguous-truth error from the
+    legacy-magic comparison."""
+    import pickle
+
+    p = tmp_path / "tensor.pth.tar"
+    with open(p, "wb") as f:
+        pickle.dump(np.ones((4, 4)), f)
+    with pytest.raises(ValueError, match="not a prompt checkpoint"):
+        load_prompt_checkpoint(str(p))
+
+
+def test_avg_ckpt_cli_resolves_last_step_dirs(tmp_path, monkeypatch):
+    """avg_ckpt --dirs on last_step run dirs (epoch checkpoints only,
+    no model-best.pth.tar): find_checkpoint resolution kicks in."""
+    import sys
+
+    from mvlpt_tpu.cli.avg_ckpt import cli as avg_cli
+
+    dirs = []
+    for seed, scale in ((1, 1.0), (2, 3.0)):
+        d = str(tmp_path / f"seed{seed}")
+        params = {"coop": {"ctx": jnp.full((4, 8), scale)}}
+        save_prompt_checkpoint(checkpoint_path(d, 2), params, epoch=2)
+        dirs.append(d)
+    out = str(tmp_path / "avg")
+    monkeypatch.setattr(sys, "argv", [
+        "avg_ckpt", "--dirs", *dirs, "--output-dir", out,
+        "--format", "numpy"])
+    avg_cli()
+    avg = load_prompt_checkpoint(checkpoint_path(out))
+    np.testing.assert_allclose(avg["state_dict"]["coop.ctx"], 2.0)
+    assert avg["val_result"] is None

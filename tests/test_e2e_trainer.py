@@ -134,11 +134,42 @@ def test_resume_from_checkpoint(tmp_path):
         "--seed", "1", "--shots", "2",
     ]
     opts = [*TINY_OPTS, "TRAIN.CHECKPOINT_FREQ", "1"]
-    _run(flags + opts)
+    first = _run(flags + opts)
+    assert np.isfinite(first.best_result)
+    # stray near-matches (manual backup, in-flight temp) must not break
+    # the resume scan — only exact model.pth.tar-N files count
+    pdir = os.path.join(out, "prompt_learner")
+    for stray in ("model.pth.tar-2.bak", "model.pth.tar-1.tmp"):
+        with open(os.path.join(pdir, stray), "w") as f:
+            f.write("junk")
     # resume: checkpoints exist up to epoch 2 == MAX_EPOCH -> no more
     # training, straight to final test
     trainer = _run(flags + ["--resume", out] + opts)
     assert trainer.epoch == 2
+    # the best-val watermark came back from the epoch checkpoint, so a
+    # longer resumed run can't clobber model-best with a worse result
+    assert trainer.best_result == pytest.approx(first.best_result)
+
+
+def test_last_step_checkpoint_val_result_is_none(tmp_path):
+    """last_step runs never track a val result; the epoch checkpoint
+    must persist val_result=None, not the -inf best_result sentinel
+    (which would poison avg_ckpt means and torch exports)."""
+    from mvlpt_tpu.checkpoint.prompt_io import (
+        checkpoint_path, load_prompt_checkpoint)
+
+    make_coop_dataset(tmp_path / "data")
+    out = str(tmp_path / "out_last")
+    opts = list(TINY_OPTS)
+    opts[opts.index("best_val")] = "last_step"
+    opts[opts.index("OPTIM.MAX_EPOCH") + 1] = "1"
+    _run([
+        "--root", str(tmp_path / "data"), "--output-dir", out,
+        "--trainer", "MVLPT", "--dataset-coop", "--dataset", "OxfordPets",
+        "--seed", "1", "--shots", "2", *opts,
+    ])
+    payload = load_prompt_checkpoint(checkpoint_path(out, 1))
+    assert payload["val_result"] is None
 
 
 def test_zeroshot_ensembling(tmp_path):
