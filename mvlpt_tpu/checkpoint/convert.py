@@ -43,9 +43,16 @@ OPENAI_MODELS = {
 
 
 def _np(t) -> np.ndarray:
-    """torch tensor / array-like -> numpy (fp16 upcast to fp32)."""
+    """torch tensor / array-like -> numpy (fp16/bf16 upcast to fp32).
+
+    bf16 tensors go through .float() first — numpy has no bfloat16, so
+    torch's .numpy() would raise 'unsupported ScalarType BFloat16'.
+    """
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
+        t = t.detach().cpu()
+        if str(t.dtype) == "torch.bfloat16":
+            t = t.float()
+        t = t.numpy()
     t = np.asarray(t)
     if t.dtype == np.float16:
         t = t.astype(np.float32)

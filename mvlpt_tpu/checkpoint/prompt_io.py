@@ -42,6 +42,11 @@ import zipfile
 import jax
 import numpy as np
 
+# torch tensor / array-like -> numpy. fp16 (CLIP-native prompt params)
+# and bf16 upcast to fp32: our masters are fp32, and averaging in fp16
+# would lose the seeds' low bits. Shared with the tower converter.
+from .convert import _np as _tensor_to_np
+
 MODEL_BEST = "model-best.pth.tar"
 
 
@@ -130,6 +135,24 @@ _REF_DIRECT = {
     "cocoop_ctx": "cocoop.ctx",
 }
 
+# Stacked coupler-transformer leaves -> torch resblock key names; the
+# bool marks Linear kernels that transpose back to torch's (out, in).
+# Leaf names must match core/clip.py's _init_block_stack layout.
+_REF_RESBLOCK_LEAVES = {
+    ("ln_1", "scale"): ("ln_1.weight", False),
+    ("ln_1", "bias"): ("ln_1.bias", False),
+    ("attn", "qkv_w"): ("attn.in_proj_weight", True),
+    ("attn", "qkv_b"): ("attn.in_proj_bias", False),
+    ("attn", "out_w"): ("attn.out_proj.weight", True),
+    ("attn", "out_b"): ("attn.out_proj.bias", False),
+    ("ln_2", "scale"): ("ln_2.weight", False),
+    ("ln_2", "bias"): ("ln_2.bias", False),
+    ("mlp", "fc_w"): ("mlp.c_fc.weight", True),
+    ("mlp", "fc_b"): ("mlp.c_fc.bias", False),
+    ("mlp", "proj_w"): ("mlp.c_proj.weight", True),
+    ("mlp", "proj_b"): ("mlp.c_proj.bias", False),
+}
+
 # torch nn.Linear modules: weight is (out, in); our kernel is (in, out).
 _REF_LINEAR = {
     "vpt_proj": "vpt.proj",
@@ -142,16 +165,6 @@ _REF_LINEAR = {
 }
 
 
-def _tensor_to_np(v) -> np.ndarray:
-    if hasattr(v, "detach"):  # torch tensor
-        v = v.detach().cpu()
-        if str(v.dtype) == "torch.bfloat16":
-            v = v.float()
-        v = v.numpy()
-    v = np.asarray(v)
-    # CLIP-native fp16 prompt params: upcast — our masters are fp32 and
-    # averaging in fp16 would lose the seeds' low bits.
-    return v.astype(np.float32) if v.dtype == np.float16 else v
 
 
 def is_reference_state_dict(sd: dict) -> bool:
@@ -232,21 +245,7 @@ def to_reference_state_dict(flat: dict) -> dict[str, np.ndarray]:
         if k.startswith("mvlpt_proj.transformer."):
             # stacked (layers, ...) group -> per-layer torch resblock keys
             grp, leaf = k.split(".")[2], k.split(".")[3]
-            names = {
-                ("ln_1", "scale"): ("ln_1.weight", False),
-                ("ln_1", "bias"): ("ln_1.bias", False),
-                ("attn", "qkv_w"): ("attn.in_proj_weight", True),
-                ("attn", "qkv_b"): ("attn.in_proj_bias", False),
-                ("attn", "out_w"): ("attn.out_proj.weight", True),
-                ("attn", "out_b"): ("attn.out_proj.bias", False),
-                ("ln_2", "scale"): ("ln_2.weight", False),
-                ("ln_2", "bias"): ("ln_2.bias", False),
-                ("mlp", "fc_w"): ("mlp.c_fc.weight", True),
-                ("mlp", "fc_b"): ("mlp.c_fc.bias", False),
-                ("mlp", "proj_w"): ("mlp.c_proj.weight", True),
-                ("mlp", "proj_b"): ("mlp.c_proj.bias", False),
-            }
-            ref_leaf, transpose = names[(grp, leaf)]
+            ref_leaf, transpose = _REF_RESBLOCK_LEAVES[(grp, leaf)]
             for i in range(v.shape[0]):
                 vi = v[i].T if transpose else v[i]
                 out[f"mvlpt_proj.resblocks.{i}.{ref_leaf}"] = (

@@ -31,9 +31,17 @@ def cli():
     # find_checkpoint: same resolution as --model-dir (model-best, or
     # the newest epoch checkpoint on last_step runs that never wrote one)
     paths = [find_checkpoint(d, args.epoch) for d in args.dirs]
-    for path in paths:
+    for d, path in zip(args.dirs, paths):
         if not os.path.exists(path):
             raise FileNotFoundError(path)
+        # Make the resolution visible: on best_val runs the fallback to
+        # the newest epoch checkpoint (a seed that crashed before its
+        # first val improvement) would otherwise silently poison the
+        # averaged init with near-random weights.
+        print(f"  {d} -> {path}")
+        if args.epoch is None and os.path.basename(path) != "model-best.pth.tar":
+            print(f"  WARNING: {d} has no model-best.pth.tar; averaged its "
+                  f"newest epoch checkpoint instead")
     avg = average_checkpoints(paths)
     out = checkpoint_path(args.output_dir)
     os.makedirs(os.path.dirname(out), exist_ok=True)

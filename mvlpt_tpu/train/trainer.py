@@ -732,6 +732,17 @@ class PromptTrainer:
         val = payload.get("val_result")
         if val is not None and np.isfinite(val):
             self.best_result = max(self.best_result, float(val))
+        # The epoch checkpoint's watermark is stale whenever model-best
+        # was updated AFTER it was written (CHECKPOINT_FREQ > 1): a
+        # crash between the two would let a worse post-resume val
+        # clobber the true best. model-best.pth.tar carries the real
+        # watermark — consult it too.
+        best_path = prompt_io.checkpoint_path(directory)
+        if os.path.exists(best_path):
+            best_val = prompt_io.load_prompt_checkpoint(
+                best_path).get("val_result")
+            if best_val is not None and np.isfinite(best_val):
+                self.best_result = max(self.best_result, float(best_val))
         # restore optimizer momentum + schedule position; older /
         # reference-format checkpoints lack these — momentum resumes
         # fresh, but the schedule count (which lives INSIDE optax's

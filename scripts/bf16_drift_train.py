@@ -73,8 +73,6 @@ def _build(backbone: str, compute_dtype, kernels: bool, n_cls: int,
     """(model, backbone_params, prompt_params, consts, res). The tiny
     config mirrors dryrun_multichip's rehearsal towers; b16 is the
     flagship bench config."""
-    import jax.numpy as jnp
-
     import __graft_entry__ as ge
 
     if backbone == "tiny":
@@ -84,7 +82,6 @@ def _build(backbone: str, compute_dtype, kernels: bool, n_cls: int,
         model, bb, pp, consts, _, clip_cfg = ge._flagship(
             n_cls=n_cls, batch=batch, compute_dtype=compute_dtype,
             backbone_name="ViT-B/16")
-    del jnp
     if kernels:
         if backbone == "tiny":
             # CPU analogue: fused kernels run in interpret mode

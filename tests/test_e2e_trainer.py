@@ -149,6 +149,19 @@ def test_resume_from_checkpoint(tmp_path):
     # the best-val watermark came back from the epoch checkpoint, so a
     # longer resumed run can't clobber model-best with a worse result
     assert trainer.best_result == pytest.approx(first.best_result)
+    # With CHECKPOINT_FREQ > 1 the newest epoch checkpoint's watermark
+    # can be STALE (model-best updated after it was written). Resume
+    # must consult model-best.pth.tar's own val_result too.
+    from mvlpt_tpu.checkpoint.prompt_io import (
+        checkpoint_path, load_prompt_checkpoint, save_prompt_checkpoint)
+    best_path = checkpoint_path(out)
+    best = load_prompt_checkpoint(best_path)
+    from mvlpt_tpu.checkpoint.prompt_io import unflatten_params
+    save_prompt_checkpoint(best_path, unflatten_params(best["state_dict"]),
+                           epoch=best["epoch"],
+                           val_result=first.best_result + 10.0)
+    trainer = _run(flags + ["--resume", out] + opts)
+    assert trainer.best_result == pytest.approx(first.best_result + 10.0)
 
 
 def test_last_step_checkpoint_val_result_is_none(tmp_path):
